@@ -1,0 +1,3 @@
+from .camera import Camera, fit_distance, orbit_camera, perspective_camera
+
+__all__ = ["Camera", "fit_distance", "orbit_camera", "perspective_camera"]

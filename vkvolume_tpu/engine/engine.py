@@ -1,0 +1,217 @@
+"""Engine — the application orchestrator.
+
+Functional replacement for ``VolumeRender`` (src/volume_render.cpp:99-445):
+owns the volumes, their acceleration structures and the render options;
+tracks which structures are stale after option edits (the reference's
+TF-slider → ``update_transfer_function`` → occupancy + distance rebuild path,
+src/volume_render.cpp:392-445 and draw_gui :447-547); and drives per-frame
+rendering. Vulkan instance/device/swapchain/fence management collapses into
+jit dispatch + ``block_until_ready``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.distance import anisotropic_distance, isotropic_distance
+from ..accel.gradient import gradient_map
+from ..accel.occupancy import occupancy_map, occupied_voxel_count
+from ..render.marcher_xla import RenderOutput, march
+from ..render.ray_setup import make_rays, make_uniforms
+from ..tf.transfer_function import bake_texture, tf_params
+from ..options import RenderOptions, SkippingType, Test
+from .volume import Volume
+
+
+@dataclasses.dataclass
+class UpdateStats:
+    """Metrics contract of the reference log lines that benchmark.py scrapes
+    (src/volume_render.cpp:418, 430)."""
+
+    occupied_voxel_percent: float | None = None
+    count_ms: float | None = None
+    map_update_ms: float | None = None
+    gradient_ms: float | None = None
+
+
+class Engine:
+    def __init__(self, options: RenderOptions | None = None,
+                 benchmark_mode: bool = False):
+        self.options = options or RenderOptions()
+        self.benchmark_mode = benchmark_mode
+        if benchmark_mode:
+            # Benchmark mode forces (src/volume_render.cpp:177-183).
+            self.options.clip_distance = 1.0
+            self.options.early_ray_termination = False
+            self.options.test = Test.NUM_TEXTURE_SAMPLES
+        self.volumes: list[Volume] = []
+
+    # ---- setup ----------------------------------------------------------
+
+    def add_volume(self, volume: Volume) -> UpdateStats:
+        """Load path of prepare(): gradient at load + first TF update
+        (src/volume_render.cpp:186-242)."""
+        self.volumes.append(volume)
+        stats = UpdateStats()
+        if volume.options.use_precomputed_gradient:
+            t0 = time.perf_counter()
+            volume.gradient = gradient_map(
+                volume.density, 1.0, use_gradient=volume.options.use_gradient
+            )
+            volume.gradient.block_until_ready()
+            stats.gradient_ms = (time.perf_counter() - t0) * 1e3
+        tf_stats = self.update_transfer_function(volume)
+        stats.occupied_voxel_percent = tf_stats.occupied_voxel_percent
+        stats.count_ms = tf_stats.count_ms
+        stats.map_update_ms = tf_stats.map_update_ms
+        return stats
+
+    def _tf(self, volume: Volume):
+        o = volume.options
+        return tf_params(
+            intensity_min=o.intensity_min,
+            intensity_max=o.intensity_max,
+            gradient_min=o.gradient_min,
+            gradient_max=o.gradient_max,
+            sampling_factor=o.sampling_factor,
+            voxel_alpha_factor=o.voxel_alpha_factor,
+        )
+
+    def update_transfer_function(self, volume: Volume, timed_runs: int = 5) -> UpdateStats:
+        """TF-edit recompute path (src/volume_render.cpp:392-445): bake the TF
+        texture, optionally count occupied voxels (benchmark mode), rebuild the
+        occupancy map and the distance map(s) for the active skipping type."""
+        o = volume.options
+        tf = self._tf(volume)
+        stats = UpdateStats()
+
+        volume.tf_texture = bake_texture(
+            intensity_min=o.intensity_min,
+            intensity_max=o.intensity_max,
+            gradient_min=o.gradient_min,
+            gradient_max=o.gradient_max,
+        )
+
+        gradient = volume.gradient if o.use_precomputed_gradient else None
+        on_the_fly = not o.use_precomputed_gradient
+
+        if self.benchmark_mode:
+            t0 = time.perf_counter()
+            n_occ = int(
+                occupied_voxel_count(
+                    volume.density, gradient, tf, on_the_fly_gradient=on_the_fly
+                )
+            )
+            stats.count_ms = (time.perf_counter() - t0) * 1e3
+            n_vox = int(np.prod(volume.density.shape))
+            stats.occupied_voxel_percent = 100.0 * n_occ / n_vox
+
+        def build_maps():
+            occ = occupancy_map(
+                volume.density,
+                gradient,
+                tf,
+                volume.map_shape_zyx,
+                on_the_fly_gradient=on_the_fly,
+            )
+            st = self.options.skipping_type
+            if st == SkippingType.DISTANCE:
+                maps = isotropic_distance(occ)[None]
+            elif st == SkippingType.ANISOTROPIC_DISTANCE:
+                maps = anisotropic_distance(occ)
+            else:
+                # BLOCK uses the occupancy map directly; NONE keeps it for
+                # diagnostics (the reference also computes it, then skips the
+                # distance passes — src/compute_distance_map.cpp:96-99).
+                maps = occ[None]
+            return maps.block_until_ready()
+
+        runs = timed_runs if self.benchmark_mode else 1
+        build_maps()  # warm the jit cache before timing (the reference's 5-run
+        # average also amortises pipeline warmup, src/volume_render.cpp:421-430)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            maps = build_maps()
+        stats.map_update_ms = (time.perf_counter() - t0) * 1e3 / runs
+        volume.dist_maps = maps
+        return stats
+
+    def set_skipping_type(self, st: SkippingType) -> None:
+        """ESS mode change rebuilds the maps for every volume
+        (src/volume_render.cpp:512-518)."""
+        if st != self.options.skipping_type:
+            self.options.skipping_type = st
+            for v in self.volumes:
+                self.update_transfer_function(v, timed_runs=1)
+
+    # ---- per-frame ------------------------------------------------------
+
+    def render(self, camera, width: int, height: int,
+               depth_image=None) -> RenderOutput:
+        """One frame: per volume, ray setup + march, blended front-to-back
+        into the target in draw order (VolumeRenderSubpass::draw,
+        src/volume_render_subpass.cpp:159-293)."""
+        out = None
+        for volume in self.volumes:
+            result = self.render_volume(
+                volume, camera, width, height, depth_image=depth_image
+            )
+            if out is None:
+                out = result
+            else:
+                # Target blend: dst = src + dst * (1 - src.a) per draw; volumes
+                # draw in sequence so a later volume blends over the earlier.
+                c = out.color + (1.0 - out.color[..., 3:4]) * result.color
+                out = dataclasses.replace(result, color=c)
+        return out
+
+    def render_volume(self, volume: Volume, camera, width: int, height: int,
+                      depth_image=None) -> RenderOutput:
+        uniforms = make_uniforms(
+            camera,
+            volume.node_transform,
+            volume.image_transform,
+            self.options.clip_distance,
+            np.asarray(volume.effective_block_size_xyz, np.float32),
+        )
+        rays = make_rays(
+            uniforms,
+            height,
+            width,
+            depth_image=depth_image,
+            use_depth=self.options.depth_attachment and depth_image is not None,
+        )
+        tf = self._tf(volume)
+        pvm = jnp.asarray(
+            (camera.proj.astype(np.float64)
+             @ camera.view.astype(np.float64)
+             @ volume.model_matrix).astype(np.float32)
+        )
+        return march(
+            volume.density,
+            volume.gradient,
+            volume.dist_maps if self.options.skipping_type != SkippingType.NONE
+            else None,
+            tf,
+            rays,
+            uniforms.block_size,
+            pvm,
+            skipping_type=self.options.skipping_type,
+            early_ray_termination=self.options.early_ray_termination,
+            precomputed_gradient=volume.options.use_precomputed_gradient,
+            test=self.options.test,
+        )
+
+    def render_image(self, camera, width: int, height: int,
+                     background=(0.0, 0.0, 0.0)) -> np.ndarray:
+        """Render and composite over a background, returning uint8 HxWx3."""
+        out = self.render(camera, width, height)
+        rgba = np.asarray(out.color)
+        bg = np.asarray(background, np.float32)
+        rgb = rgba[..., :3] + (1.0 - rgba[..., 3:4]) * bg
+        return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)

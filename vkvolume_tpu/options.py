@@ -1,0 +1,55 @@
+"""Runtime options — twin of the reference's three option structs.
+
+* ``SkippingType`` / ``Test`` enums: src/volume_render_subpass.h:58-72.
+* ``RenderOptions``: ``VolumeRenderSubpass::Options`` (same file, :74-81).
+* ``VolumeOptions``: ``Volume::Options`` (src/volume_component.h:45-56).
+
+In the reference, structural options select shader ``#define`` variants and
+any change recompiles the pipeline (src/volume_render_subpass.cpp:56-93,
+src/volume_render.cpp:541-544). Here they become jit *static arguments*: a
+change simply keys a different executable in the jit cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class SkippingType(enum.IntEnum):
+    NONE = 0
+    BLOCK = 1
+    DISTANCE = 2
+    ANISOTROPIC_DISTANCE = 3
+
+
+class Test(enum.IntEnum):
+    NONE = 0
+    RAY_ENTRY = 1
+    RAY_EXIT = 2
+    NUM_TEXTURE_SAMPLES = 3
+
+
+@dataclasses.dataclass
+class RenderOptions:
+    skipping_type: SkippingType = SkippingType.DISTANCE
+    clip_distance: float = 50.0
+    early_ray_termination: bool = True
+    depth_attachment: bool = False
+    test: Test = Test.NONE
+
+
+@dataclasses.dataclass
+class VolumeOptions:
+    sampling_factor: float = 1.0
+    voxel_alpha_factor: float = 1.0
+    use_precomputed_gradient: bool = True
+    # Simple grayscale 2D transfer function parameters.
+    intensity_min: float = 0.0
+    intensity_max: float = 1.0
+    gradient_min: float = 0.0
+    gradient_max: float = 1.0
+
+    @property
+    def use_gradient(self) -> bool:
+        return self.gradient_max != self.gradient_min
