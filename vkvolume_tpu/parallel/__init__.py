@@ -1,0 +1,3 @@
+from .mesh import RAY_AXIS, make_mesh, march_sharded, replicate, shard_rays
+
+__all__ = ["RAY_AXIS", "make_mesh", "march_sharded", "replicate", "shard_rays"]
