@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Headline benchmark: ms/frame at 1920×1080, beetle-class volume,
+distance-map ESS (the BASELINE.json north-star metric).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "ms/frame", "vs_baseline": N, ...}
+
+Baseline derivation (BASELINE.md): the reference's stag-beetle TF-a
+distance-ESS result is 623.8 fps at 1200×1200 (benchmark_results_2.csv:14)
+on unrecorded GPU hardware. Scaled to 1920×1080 pixels that is
+623.8 / (1920*1080 / 1200**2) = 433.2 fps ≡ 2.308 ms/frame.
+``vs_baseline`` = baseline_ms / our_ms (>1 = faster than the reference).
+
+The CT datasets are not redistributable; the volume is a deterministic
+synthetic stand-in with the same extents and calibrated to the same
+occupancy (3.97 %) — the quantity that drives ESS work (see
+vkvolume_tpu/bench/datasets.py).
+
+Environment overrides: BENCH_FRAMES, BENCH_SCALE (volume scale factor),
+BENCH_WIDTH/BENCH_HEIGHT, BENCH_DATASET, BENCH_SKIPMODE.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    frames = int(os.environ.get("BENCH_FRAMES", "10"))
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
+    dataset = os.environ.get("BENCH_DATASET", "beetle")
+    skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
+
+    import jax
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    from vkvolume_tpu.bench.harness import run_config
+    from vkvolume_tpu.options import Test
+
+    t0 = time.time()
+    r = run_config(
+        dataset, skipmode, 4,
+        width=width, height=height, frames=frames, scale=scale,
+        # Headline number = the real shaded render with ERT on (the
+        # user-facing configuration), not the sample-count test image.
+        test=Test.NONE, ert=True,
+    )
+    wall = time.time() - t0
+
+    ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
+    baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
+    # Scale baseline if the volume was shrunk (keeps quick runs honest-ish).
+    result = {
+        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} (synthetic, occupancy-matched)",
+        "value": round(r.frame_ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(baseline_ms / r.frame_ms, 4),
+        "fps": round(r.framerate, 2),
+        "map_update_ms": round(r.update, 3),
+        "occupancy_pct": round(r.occupancy, 3),
+        "frames": frames,
+        "scale": scale,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
