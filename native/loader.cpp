@@ -38,7 +38,7 @@ inline bool host_is_little() {
 
 template <typename T>
 void normalise_range(const uint8_t* raw, uint8_t* out, long long begin,
-                     long long end, bool swap, float lo, float inv_range) {
+                     long long end, bool swap, float lo, float range) {
   const T* src = reinterpret_cast<const T*>(raw);
   for (long long i = begin; i < end; ++i) {
     T v = src[i];
@@ -48,7 +48,9 @@ void normalise_range(const uint8_t* raw, uint8_t* out, long long begin,
       u = bswap16(u);
       std::memcpy(&v, &u, 2);
     }
-    float t = (static_cast<float>(v) - lo) * inv_range;
+    // Divide (not reciprocal-multiply) to match the numpy/reference
+    // formula bit-exactly at truncation boundaries.
+    float t = (static_cast<float>(v) - lo) / range;
     t = std::min(1.0f, std::max(0.0f, t));
     out[i] = static_cast<uint8_t>(255.0f * t);  // truncating cast (reference
                                                 // src/load_volume.cpp:169)
@@ -66,7 +68,7 @@ int load_impl(const char* path, long long n, bool file_big_endian, float lo,
   if (got != raw.size()) return 2;
 
   const bool swap = (sizeof(T) == 2) && (file_big_endian == host_is_little());
-  const float inv_range = 1.0f / (hi - lo);
+  const float range = hi - lo;
 
   unsigned hw = std::thread::hardware_concurrency();
   unsigned n_threads = std::max(1u, std::min(hw ? hw : 1u, 32u));
@@ -78,7 +80,7 @@ int load_impl(const char* path, long long n, bool file_big_endian, float lo,
     long long e = std::min<long long>(n, b + chunk);
     if (b >= e) break;
     threads.emplace_back(normalise_range<T>, raw.data(), out, b, e, swap, lo,
-                         inv_range);
+                         range);
   }
   for (auto& th : threads) th.join();
   return 0;
