@@ -33,6 +33,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     dataset = os.environ.get("BENCH_DATASET", "beetle")
     skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
+    renderer = os.environ.get("BENCH_RENDERER", "sweep")
 
     import jax
 
@@ -47,7 +48,7 @@ def main():
         width=width, height=height, frames=frames, scale=scale,
         # Headline number = the real shaded render with ERT on (the
         # user-facing configuration), not the sample-count test image.
-        test=Test.NONE, ert=True,
+        test=Test.NONE, ert=True, renderer=renderer,
     )
     wall = time.time() - t0
 
@@ -55,7 +56,7 @@ def main():
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
     # Scale baseline if the volume was shrunk (keeps quick runs honest-ish).
     result = {
-        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} (synthetic, occupancy-matched)",
+        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} renderer={renderer} (synthetic, occupancy-matched)",
         "value": round(r.frame_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / r.frame_ms, 4),

@@ -74,6 +74,7 @@ def run_config(
     volume_u8=None,
     test: Test | None = None,
     ert: bool | None = None,
+    renderer: str = "sweep",
 ) -> BenchResult:
     ds = DATASETS[dataset_key]
     t_load = time.perf_counter()
@@ -86,7 +87,7 @@ def run_config(
         gradient_min=ds.gmin, gradient_max=ds.gmax,
     )
     eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
-                 benchmark_mode=True)
+                 benchmark_mode=True, renderer=renderer)
     if test is not None:
         eng.options.test = test
     if ert is not None:

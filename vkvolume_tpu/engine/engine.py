@@ -41,9 +41,13 @@ class UpdateStats:
 
 class Engine:
     def __init__(self, options: RenderOptions | None = None,
-                 benchmark_mode: bool = False):
+                 benchmark_mode: bool = False, renderer: str = "marcher"):
+        """``renderer``: "marcher" = the reference-exact lock-step ray march
+        (the parity oracle); "sweep" = the TPU-native plane-sweep compositor
+        (the production fast path, see render/sweep.py)."""
         self.options = options or RenderOptions()
         self.benchmark_mode = benchmark_mode
+        self.renderer = renderer
         if benchmark_mode:
             # Benchmark mode forces (src/volume_render.cpp:177-183).
             self.options.clip_distance = 1.0
@@ -172,6 +176,9 @@ class Engine:
 
     def render_volume(self, volume: Volume, camera, width: int, height: int,
                       depth_image=None) -> RenderOutput:
+        if self.renderer == "sweep":
+            return self._render_sweep(volume, camera, width, height,
+                                      depth_image=depth_image)
         uniforms = make_uniforms(
             camera,
             volume.node_transform,
@@ -205,6 +212,56 @@ class Engine:
             early_ray_termination=self.options.early_ray_termination,
             precomputed_gradient=volume.options.use_precomputed_gradient,
             test=self.options.test,
+        )
+
+    def _render_sweep(self, volume: Volume, camera, width: int, height: int,
+                      depth_image=None) -> RenderOutput:
+        from ..render import sweep as sweep_mod
+
+        uniforms = make_uniforms(
+            camera,
+            volume.node_transform,
+            volume.image_transform,
+            self.options.clip_distance,
+            np.asarray(volume.effective_block_size_xyz, np.float32),
+        )
+        rays = make_rays(
+            uniforms,
+            height,
+            width,
+            depth_image=depth_image,
+            use_depth=self.options.depth_attachment and depth_image is not None,
+        )
+        p = sweep_mod.principal_axis(rays)
+        cache = getattr(volume, "_sweep_cache", None)
+        if cache is None:
+            cache = volume._sweep_cache = {}
+        if p not in cache:
+            vol_t = sweep_mod.transpose_for_axis(volume.density, p)
+            grad_t = (
+                sweep_mod.transpose_for_axis(volume.gradient, p)
+                if volume.gradient is not None else None
+            )
+            cache[p] = (vol_t, grad_t)
+        vol_t, grad_t = cache[p]
+        # Any map with 0 ⇔ occupied works for slab skipping (distance maps
+        # are 0 exactly at occupied cells, occupancy is OCCUPIED=0).
+        occ_t = None
+        if volume.dist_maps is not None:
+            occ_t = sweep_mod.transpose_for_axis(volume.dist_maps[0], p)
+        tf = self._tf(volume)
+        pvm = jnp.asarray(
+            (camera.proj.astype(np.float64)
+             @ camera.view.astype(np.float64)
+             @ volume.model_matrix).astype(np.float32)
+        )
+        return sweep_mod.sweep(
+            vol_t, grad_t, occ_t, tf, rays, uniforms, pvm,
+            p_axis=p,
+            skipping=self.options.skipping_type != SkippingType.NONE,
+            early_ray_termination=self.options.early_ray_termination,
+            test=self.options.test,
+            oversample=float(volume.options.sampling_factor),
         )
 
     def render_image(self, camera, width: int, height: int,
