@@ -1,0 +1,114 @@
+"""Plane-sweep renderer tests: XLA sweep vs the exact marcher, and the
+Pallas kernel (interpret mode) vs the XLA sweep."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkvolume_tpu.accel import isotropic_distance, occupancy_map
+from vkvolume_tpu.camera import orbit_camera
+from vkvolume_tpu.options import SkippingType
+from vkvolume_tpu.options import Test as RT
+from vkvolume_tpu.render import make_rays, make_uniforms
+from vkvolume_tpu.render import sweep as sweep_mod
+from vkvolume_tpu.tf import tf_params
+from vkvolume_tpu.utils import math3d
+
+from test_render import _march, _setup
+from util import sphere_shell_volume
+
+
+def test_sweep_matches_marcher_image():
+    vol = sphere_shell_volume(40)
+    s = _setup(vol, size=32)
+    ref = np.asarray(_march(vol, s, SkippingType.DISTANCE).color)
+
+    p = sweep_mod.principal_axis(s["rays"])
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    occ_t = sweep_mod.transpose_for_axis(s["occ"], p)
+    out = sweep_mod.sweep(
+        vol_t, None, occ_t, s["tf"], s["rays"], s["uniforms"], s["pvm"],
+        p_axis=p, skipping=True, early_ray_termination=True,
+    )
+    got = np.asarray(out.color)
+    # Different sample positions along each ray → a few u8 LSB of tolerance.
+    assert np.abs(got - ref).max() < 0.05
+    assert np.abs(got[..., 3].mean() - ref[..., 3].mean()) < 2e-3
+
+
+def test_sweep_slab_skip_is_exact():
+    vol = sphere_shell_volume(40)
+    s = _setup(vol, size=32)
+    p = sweep_mod.principal_axis(s["rays"])
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    occ_t = sweep_mod.transpose_for_axis(s["occ"], p)
+    kw = dict(p_axis=p, early_ray_termination=False)
+    with_skip = sweep_mod.sweep(vol_t, None, occ_t, s["tf"], s["rays"],
+                                s["uniforms"], s["pvm"], skipping=True, **kw)
+    without = sweep_mod.sweep(vol_t, None, occ_t, s["tf"], s["rays"],
+                              s["uniforms"], s["pvm"], skipping=False, **kw)
+    np.testing.assert_allclose(np.asarray(with_skip.color),
+                               np.asarray(without.color), atol=1e-6)
+
+
+def _pallas_setup(eye=(0.0, 0.0, 8.0)):
+    """Tiny zoomed-in geometry satisfying the kernel footprint limits
+    (texels-per-pixel < 1 along both slice axes)."""
+    from vkvolume_tpu.camera import perspective_camera
+
+    D, Hs, Ws = 16, 32, 256
+    z, y, x = np.mgrid[0:D, 0:Hs, 0:Ws].astype(np.float32)
+    vol = np.clip(
+        140 * np.exp(-(((x - 128) / 18) ** 2 + ((y - 16) / 6) ** 2
+                       + ((z - 8) / 2.5) ** 2))
+        + 120 * np.exp(-(((x - 80) / 6) ** 2 + ((y - 12) / 4) ** 2
+                         + ((z - 5) / 2) ** 2)),
+        0, 255,
+    ).astype(np.uint8)
+    H, W = 32, 128
+    node = math3d.scale((100.0 / 256,) * 3)
+    img_t = math3d.scale((float(Ws), float(Hs), float(D)))
+    cam = perspective_camera(eye=eye, center=(0, 0, 0), fovy_deg=25.0,
+                             aspect=W / H)
+    tf = tf_params(intensity_min=0.3, gradient_min=0.0, gradient_max=0.0)
+    u = make_uniforms(cam, node, img_t, 1.0, (4.0, 4.0, 4.0))
+    rays = make_rays(u, H, W)
+    mz, my, mx = -(-D // 4), -(-Hs // 4), -(-Ws // 4)
+    occ = occupancy_map(jnp.asarray(vol), None, tf, (mz, my, mx))
+    pvm = jnp.asarray(
+        (cam.proj.astype(np.float64) @ cam.view.astype(np.float64)
+         @ (node @ img_t).astype(np.float64)).astype(np.float32)
+    )
+    return vol, tf, u, rays, occ, pvm
+
+
+@pytest.mark.parametrize("ert", [True, False])
+@pytest.mark.parametrize("eye_z", [8.0, -8.0])
+def test_pallas_kernel_matches_xla_sweep_interpret(ert, eye_z):
+    from vkvolume_tpu.render.sweep_pallas import sweep_pallas
+
+    vol, tf, u, rays, occ, pvm = _pallas_setup(eye=(0.3, 0.2, eye_z))
+    p = sweep_mod.principal_axis(rays)
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    occ_t = sweep_mod.transpose_for_axis(occ, p)
+
+    ref = sweep_mod.sweep(vol_t, None, occ_t, tf, rays, u, pvm, p_axis=p,
+                          skipping=True, early_ray_termination=ert)
+    out = sweep_pallas(vol_t, occ_t, tf, rays, u, pvm, p_axis=p, ert=ert,
+                       interpret=True)
+    ref_c = np.asarray(ref.color)
+    got_c = np.asarray(out.color)
+    assert np.abs(got_c - ref_c).max() < 1e-4
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=1e-5)
+
+
+def test_pallas_unsupported_raises():
+    from vkvolume_tpu.render.sweep_pallas import PallasUnsupported, sweep_pallas
+
+    vol, tf, u, rays, occ, pvm = _pallas_setup()
+    p = sweep_mod.principal_axis(rays)
+    # Volume too narrow for the 256-wide rect.
+    tiny = jnp.zeros((8, 32, 32), jnp.uint8)
+    with pytest.raises(PallasUnsupported):
+        sweep_pallas(tiny, None, tf, rays, u, pvm, p_axis=p, interpret=True)

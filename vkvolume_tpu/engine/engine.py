@@ -44,7 +44,10 @@ class Engine:
                  benchmark_mode: bool = False, renderer: str = "marcher"):
         """``renderer``: "marcher" = the reference-exact lock-step ray march
         (the parity oracle); "sweep" = the TPU-native plane-sweep compositor
-        (the production fast path, see render/sweep.py)."""
+        (render/sweep.py); "pallas" = the hand-scheduled Pallas sweep kernel
+        (render/sweep_pallas.py), falling back to "sweep" for configurations
+        the kernel does not cover (gradient TFs, texture TFs, tiny volumes,
+        non-tile-aligned images)."""
         self.options = options or RenderOptions()
         self.benchmark_mode = benchmark_mode
         self.renderer = renderer
@@ -176,7 +179,7 @@ class Engine:
 
     def render_volume(self, volume: Volume, camera, width: int, height: int,
                       depth_image=None) -> RenderOutput:
-        if self.renderer == "sweep":
+        if self.renderer in ("sweep", "pallas"):
             return self._render_sweep(volume, camera, width, height,
                                       depth_image=depth_image)
         uniforms = make_uniforms(
@@ -255,6 +258,28 @@ class Engine:
              @ camera.view.astype(np.float64)
              @ volume.model_matrix).astype(np.float32)
         )
+        if self.renderer == "pallas":
+            from ..render import sweep_pallas as sp
+            from ..options import Test as _T
+
+            pallas_ok = (
+                not tf.use_gradient
+                and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
+            )
+            if pallas_ok:
+                try:
+                    return sp.sweep_pallas(
+                        vol_t,
+                        occ_t if self.options.skipping_type != SkippingType.NONE
+                        else None,
+                        tf, rays, uniforms, pvm,
+                        p_axis=p,
+                        ert=self.options.early_ray_termination,
+                        test=self.options.test,
+                        oversample=float(volume.options.sampling_factor),
+                    )
+                except sp.PallasUnsupported:
+                    pass
         return sweep_mod.sweep(
             vol_t, grad_t, occ_t, tf, rays, uniforms, pvm,
             p_axis=p,

@@ -1,0 +1,530 @@
+"""Plane-sweep renderer — Pallas TPU kernel (the flagship hot path).
+
+Same algorithm as render/sweep.py (see its docstring for the mapping from
+the reference's per-pixel ray march, volume_render.frag:212-312, to the
+slab sweep), hand-scheduled for the TPU memory hierarchy:
+
+* Grid over 8×128 **pixel tiles**; each tile runs its own slab loop with
+  per-tile empty-space skipping and early-ray-termination breaks — the
+  Pallas analogue of per-ray ESS/ERT.
+* Per (tile, slab): one aligned async DMA pulls the 2×R×256 uint8 source
+  rect (the two voxel planes the slab interpolates, restricted to the
+  tile's footprint) HBM→VMEM, double-buffered so the next slab's rect
+  streams in while the current one is sampled.
+* Trilinear reconstruction = plane lerp (scalar weight) → per-row lane
+  gathers (`take_along_axis` on (8,128) vregs — the VPU's dynamic-gather
+  unit) for the two u taps → tent("hat")-weighted accumulation over source
+  rows, which performs the v lerp exactly (the tent weight is nonzero for
+  exactly the two straddling rows).
+* ESS: per-slab occupied bounding boxes (derived from the same occupancy
+  map the reference builds, occupancy_map.comp) live in SMEM; slabs whose
+  bbox misses the tile's footprint are skipped *without issuing their DMA*.
+  Empty-slab skipping is exact (all-zero-alpha corners interpolate to zero
+  alpha).
+* ERT: the slab loop breaks once every covered pixel in the tile is
+  saturated (alpha > 0.99 ⇒ forced to 1, volume_render.frag:293-299), and
+  when the slab plane passes the tile's furthest exit.
+
+Constraints (checked by the wrapper; violations fall back to the XLA
+sweep): H % 8 == 0, W % 128 == 0, source-plane width >= 256 (padded),
+per-tile source footprint <= 126 texels wide and <= R-9 rows tall (true
+whenever a volume texel covers >= ~1 pixel, e.g. any fit-to-viewport or
+zoomed view).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..options import Test
+from ..tf.transfer_function import TFParams
+from .marcher_xla import RenderOutput
+from .ray_setup import FrameUniforms, RaySetup
+from .sweep import _SLICE_AXES, principal_axis, transpose_for_axis
+
+TILE_H = 8
+TILE_W = 128
+RECT_W = 256
+
+
+def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
+            wu_ref, wv_ref, slo_ref, shi_ref, kap_ref, cov_ref,  # VMEM tiles
+            vol_ref,                                # ANY (manual DMA)
+            lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
+            scratch, sems,                          # (2,2,R,256) u8, DMA (2,)
+            *, R, ert, count_samples):
+    f = jnp.float32
+    n_slabs = meta_ref[0]
+    Np = meta_ref[1]
+    Sv = meta_ref[2]
+    Su = meta_ref[3]
+    sgn_i = meta_ref[4]          # +1 / -1 slab iteration direction
+    Sv_pad = meta_ref[5]
+
+    o_u = fpar_ref[0]
+    o_v = fpar_ref[1]
+    o_p = fpar_ref[2]
+    ds = fpar_ref[3]
+    imin = fpar_ref[4]
+    iinv = fpar_ref[5]
+    vaf = fpar_ref[6]
+
+    wu = wu_ref[:]
+    wv = wv_ref[:]
+    s_lo = slo_ref[:]
+    s_hi = shi_ref[:]
+    kappa = kap_ref[:]
+    cov = cov_ref[:] > 0.0
+
+    big = f(1e30)
+    s_lo_t = jnp.min(jnp.where(cov, s_lo, big))
+    s_hi_t = jnp.max(jnp.where(cov, s_hi, -big))
+    any_cov = jnp.any(cov)
+
+    wu_min = jnp.min(jnp.where(cov, wu, big))
+    wu_max = jnp.max(jnp.where(cov, wu, -big))
+    wv_min = jnp.min(jnp.where(cov, wv, big))
+    wv_max = jnp.max(jnp.where(cov, wv, -big))
+
+    # Slab index range covering [s_lo_t, s_hi_t]: s_k = (k + 0.5) * ds.
+    k_a = jnp.floor(s_lo_t / ds - 0.5).astype(jnp.int32)
+    k_b = jnp.ceil(s_hi_t / ds - 0.5).astype(jnp.int32)
+    k_a = jnp.clip(k_a, 0, n_slabs - 1)
+    k_b = jnp.clip(k_b, 0, n_slabs - 1)
+    k_begin = jnp.where(sgn_i > 0, k_a, k_b)
+    k_end = jnp.where(sgn_i > 0, k_b + 1, k_a - 1)   # exclusive
+
+    def in_range(k):
+        return jnp.where(sgn_i > 0, k < k_end, k > k_end)
+
+    def rect_uv(k):
+        """Aligned rect origin (v0a, u0a) for slab k (scalars)."""
+        s = (k.astype(f) + 0.5) * ds
+        t = s - o_p
+        qu_lo = (o_u + jnp.minimum(wu_min * t, wu_max * t)) * Su.astype(f) - 0.5
+        qv_lo = (o_v + jnp.minimum(wv_min * t, wv_max * t)) * Sv.astype(f) - 0.5
+        u0 = jnp.floor(qu_lo).astype(jnp.int32)
+        v0 = jnp.floor(qv_lo).astype(jnp.int32)
+        u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Su - RECT_W, 0))
+        v0a = jnp.clip((v0 // 8) * 8, 0, jnp.maximum(Sv_pad - R, 0))
+        return v0a, u0a
+
+    def qu_bounds(k):
+        s = (k.astype(f) + 0.5) * ds
+        t = s - o_p
+        qu_lo = (o_u + jnp.minimum(wu_min * t, wu_max * t)) * Su.astype(f) - 0.5
+        qu_hi = (o_u + jnp.maximum(wu_min * t, wu_max * t)) * Su.astype(f) - 0.5
+        qv_lo = (o_v + jnp.minimum(wv_min * t, wv_max * t)) * Sv.astype(f) - 0.5
+        qv_hi = (o_v + jnp.maximum(wv_min * t, wv_max * t)) * Sv.astype(f) - 0.5
+        return qu_lo, qu_hi, qv_lo, qv_hi
+
+    def k0_of(k):
+        s = (k.astype(f) + 0.5) * ds
+        zp = s * Np.astype(f) - 0.5
+        return jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
+
+    def slab_valid(k):
+        """Occupied-bbox ∩ tile-footprint test (scalars, SMEM bbox)."""
+        ok = in_range(k)
+        kc = jnp.clip(k, 0, n_slabs - 1)
+        bvmin = bbox_ref[0, kc]
+        bvmax = bbox_ref[1, kc]
+        bumin = bbox_ref[2, kc]
+        bumax = bbox_ref[3, kc]
+        qu_lo, qu_hi, qv_lo, qv_hi = qu_bounds(kc)
+        hit = (
+            (bvmin >= 0)
+            & (bumin.astype(f) <= qu_hi + 1.0)
+            & (bumax.astype(f) >= qu_lo)
+            & (bvmin.astype(f) <= qv_hi + 1.0)
+            & (bvmax.astype(f) >= qv_lo)
+        )
+        return ok & hit
+
+    def next_valid(k):
+        """First k' (k inclusive, stepping sgn) with slab_valid, else k_end."""
+        def cond(kk):
+            return in_range(kk) & ~slab_valid(kk)
+
+        def body(kk):
+            return kk + sgn_i
+
+        return jax.lax.while_loop(cond, body, k)
+
+    def start_dma(k, slot):
+        v0a, u0a = rect_uv(k)
+        k0 = k0_of(k)
+        v0a = pl.multiple_of(v0a, 8)
+        u0a = pl.multiple_of(u0a, 128)
+        pltpu.make_async_copy(
+            vol_ref.at[pl.ds(k0, 2), pl.ds(v0a, R), pl.ds(u0a, RECT_W)],
+            scratch.at[slot],
+            sems.at[slot],
+        ).start()
+
+    def wait_dma(slot):
+        # Wait on whatever copy was issued into this slot.
+        pltpu.make_async_copy(scratch.at[slot], scratch.at[slot],
+                              sems.at[slot]).wait()
+
+    zero = jnp.zeros((TILE_H, TILE_W), f)
+    init_lum = zero
+    init_alpha = zero
+    init_firsts = jnp.full((TILE_H, TILE_W), 2.0, f)
+    init_nsamp = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+
+    k_first = next_valid(k_begin)
+
+    @pl.when(any_cov & in_range(k_first))
+    def _():
+        start_dma(k_first, 0)
+
+    def live(alpha):
+        if not ert:
+            return jnp.bool_(True)
+        return jnp.any(cov & (alpha <= 0.99))
+
+    def loop_cond(st):
+        k_cur, slot, lum, alpha, firsts, nsamp = st
+        return any_cov & in_range(k_cur) & live(alpha)
+
+    def loop_body(st):
+        k_cur, slot, lum, alpha, firsts, nsamp = st
+        k_nxt = next_valid(k_cur + sgn_i)
+
+        @pl.when(in_range(k_nxt))
+        def _():
+            start_dma(k_nxt, 1 - slot)
+
+        wait_dma(slot)
+
+        # ---- Sample slab k_cur from scratch[slot] ----
+        s = (k_cur.astype(f) + 0.5) * ds
+        t = s - o_p
+        zp = s * Np.astype(f) - 0.5
+        k0 = jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
+        fp = jnp.clip(zp - k0.astype(f), 0.0, 1.0)
+        v0a, u0a = rect_uv(k_cur)
+
+        qu = (o_u + wu * t) * Su.astype(f) - 0.5
+        qv = (o_v + wv * t) * Sv.astype(f) - 0.5
+        qv = jnp.clip(qv, 0.0, Sv.astype(f) - 1.0)
+        iu0 = jnp.clip(jnp.floor(qu).astype(jnp.int32), 0, Su - 1)
+        iu1 = jnp.minimum(iu0 + 1, Su - 1)
+        fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
+        il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
+        il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
+        lo_mask0 = il0 < 128
+        lo_mask1 = il1 < 128
+        il0_lo = jnp.minimum(il0, 127)
+        il0_hi = jnp.maximum(il0 - 128, 0)
+        il1_lo = jnp.minimum(il1, 127)
+        il1_hi = jnp.maximum(il1 - 128, 0)
+
+        acc = zero
+        for r in range(R):
+            vg = (v0a + r).astype(f)
+            w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
+            # Plane lerp first (shared scalar weight), then u gathers.
+            row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
+            row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
+            row = row0 * (1.0 - fp) + row1 * fp          # (256,)
+            lo = jnp.broadcast_to(row[0:128].reshape(1, 128), (TILE_H, 128))
+            hi = jnp.broadcast_to(row[128:256].reshape(1, 128), (TILE_H, 128))
+            g0 = jnp.where(
+                lo_mask0,
+                jnp.take_along_axis(lo, il0_lo, axis=1),
+                jnp.take_along_axis(hi, il0_hi, axis=1),
+            )
+            g1 = jnp.where(
+                lo_mask1,
+                jnp.take_along_axis(lo, il1_lo, axis=1),
+                jnp.take_along_axis(hi, il1_hi, axis=1),
+            )
+            col = g0 + (g1 - g0) * fu
+            acc = acc + w_hat * col
+
+        intensity = acc * f(1.0 / 255.0)
+        a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
+
+        in_rng = cov & (s >= s_lo) & (s <= s_hi)
+        if ert:
+            in_rng = in_rng & (alpha <= 0.99)
+        a_corr = jnp.clip(vaf * (1.0 - jnp.power(1.0 - a_tf, kappa)), 0.0, 1.0)
+        contrib = in_rng & (a_tf > 0.0)
+        one_m = 1.0 - alpha
+        lum = jnp.where(contrib, lum + one_m * a_tf * a_corr, lum)
+        new_alpha = jnp.where(contrib, alpha + one_m * a_corr, alpha)
+        hit = contrib & (a_corr > 0.0) & (firsts > 1.5)
+        firsts = jnp.where(hit, s, firsts)
+        if ert:
+            sat = contrib & (new_alpha > 0.99)
+            new_alpha = jnp.where(sat, 1.0, new_alpha)
+        if count_samples:
+            nsamp = nsamp + in_rng
+
+        return (k_nxt, 1 - slot, lum, new_alpha, firsts, nsamp)
+
+    final = jax.lax.while_loop(
+        loop_cond, loop_body,
+        (k_first, jnp.int32(0), init_lum, init_alpha, init_firsts, init_nsamp),
+    )
+    lum, alpha, firsts, nsamp = final[2], final[3], final[4], final[5]
+
+    lum_ref[:] = lum
+    alpha_ref[:] = alpha
+    firsts_ref[:] = firsts
+    nsamp_ref[:] = nsamp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p_axis", "R", "ert", "test", "count_samples",
+                     "n_slabs", "interpret"),
+)
+def _sweep_pallas_jit(
+    vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
+    proj_view_model,
+    *, p_axis, R, ert, test, count_samples, n_slabs, interpret=False,
+):
+    f = jnp.float32
+    H, W = rays.valid.shape
+    Np, Sv, Su_pad = vol_t.shape
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+
+    d = rays.ray_dir
+    d_p = d[..., p_axis]
+    o = uniforms.cam_pos_tex
+    o_p, o_u, o_v = o[p_axis], o[u_ax], o[v_ax]
+
+    sgn = jnp.sign(jnp.sum(jnp.where(rays.valid, d_p, 0.0)))
+    sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+    safe_dp = jnp.where(jnp.abs(d_p) < 1e-6,
+                        jnp.where(d_p < 0, -1e-6, 1e-6), d_p)
+    wu = d[..., u_ax] / safe_dp
+    wv = d[..., v_ax] / safe_dp
+    s_a = rays.entry[..., p_axis]
+    s_b = rays.exit[..., p_axis]
+    s_lo = jnp.minimum(s_a, s_b)
+    s_hi = jnp.maximum(s_a, s_b)
+    covered = rays.valid & (jnp.abs(d_p) > 1e-6)
+    ds = 1.0 / n_slabs
+    dim_max = max(Np, Sv, Su_pad)  # Su_pad == padded; use logical via meta
+    kappa = f(dim_max) * ds / jnp.abs(safe_dp)
+
+    # ---- per-slab bboxes from the occupancy map ----
+    mp, mv, mu = occupancy_t.shape
+    occ = occupancy_t == 0
+    idx_v = jax.lax.broadcasted_iota(jnp.int32, (mp, mv), 1)
+    idx_u = jax.lax.broadcasted_iota(jnp.int32, (mp, mu), 1)
+    any_v = jnp.any(occ, axis=2)
+    any_u = jnp.any(occ, axis=1)
+    big = jnp.int32(1 << 30)
+    vmin_m = jnp.min(jnp.where(any_v, idx_v, big), axis=1)
+    vmax_m = jnp.max(jnp.where(any_v, idx_v, -big), axis=1)
+    umin_m = jnp.min(jnp.where(any_u, idx_u, big), axis=1)
+    umax_m = jnp.max(jnp.where(any_u, idx_u, -big), axis=1)
+    nonempty_m = jnp.any(any_v, axis=1)
+
+    bp_p = -(-Np // mp)
+    bp_v = -(-Sv // mv)
+    bp_u = -(-(Su_pad) // mu)  # caller ensures occupancy matches logical dims
+
+    ks = jnp.arange(n_slabs, dtype=jnp.int32)
+    s_ks = (ks.astype(f) + 0.5) * ds
+    zps = s_ks * Np - 0.5
+    k0s = jnp.clip(jnp.floor(zps).astype(jnp.int32), 0, Np - 2)
+    m0 = jnp.clip(k0s // bp_p, 0, mp - 1)
+    m1 = jnp.clip((k0s + 1) // bp_p, 0, mp - 1)
+
+    ne = nonempty_m[m0] | nonempty_m[m1]
+    vmin = jnp.minimum(vmin_m[m0], vmin_m[m1]) * bp_v - 1
+    vmax = (jnp.maximum(vmax_m[m0], vmax_m[m1]) + 1) * bp_v
+    umin = jnp.minimum(umin_m[m0], umin_m[m1]) * bp_u - 1
+    umax = (jnp.maximum(umax_m[m0], umax_m[m1]) + 1) * bp_u
+    bbox = jnp.stack([
+        jnp.where(ne, vmin, -1),
+        jnp.where(ne, vmax, -1),
+        jnp.where(ne, umin, 0),
+        jnp.where(ne, umax, 0),
+    ]).astype(jnp.int32)
+
+    Sv_logical = Sv
+    meta = jnp.asarray(
+        [n_slabs, Np, Sv_logical, Su_pad, 0, Sv], jnp.int32
+    ).at[4].set(jnp.where(sgn > 0, 1, -1).astype(jnp.int32))
+    fpar = jnp.stack([
+        o_u.astype(f), o_v.astype(f), o_p.astype(f), jnp.float32(ds),
+        tf.intensity_min, tf.intensity_range_inv, tf.voxel_alpha_factor,
+    ])
+
+    grid = (H // TILE_H, W // TILE_W)
+    tile_map = lambda ty, tx, *_: (ty, tx)
+
+    kern = functools.partial(_kernel, R=R, ert=ert,
+                             count_samples=count_samples or
+                             test == Test.NUM_TEXTURE_SAMPLES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # wu
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # wv
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # s_lo
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # s_hi
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # kappa
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),   # cov
+            pl.BlockSpec(memory_space=pl.ANY),          # volume
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, R, RECT_W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    lum, alpha, firsts, nsamp = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), f),
+            jax.ShapeDtypeStruct((H, W), f),
+            jax.ShapeDtypeStruct((H, W), f),
+            jax.ShapeDtypeStruct((H, W), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        meta, fpar, bbox,
+        wu.astype(f), wv.astype(f), s_lo.astype(f), s_hi.astype(f),
+        kappa.astype(f), covered.astype(f),
+        vol_t,
+    )
+
+    color = jnp.stack([lum, lum, lum, alpha], -1)
+
+    # Depth from first contributing slab.
+    hit = (alpha > 0.0) & (firsts < 1.5)
+    t_hit = firsts - o_p
+    pen_xyz = [None, None, None]
+    pen_xyz[p_axis] = firsts
+    pen_xyz[u_ax] = o_u + wu * t_hit
+    pen_xyz[v_ax] = o_v + wv * t_hit
+    pen = jnp.stack(pen_xyz, -1) - 0.5
+    pen_h = jnp.concatenate([pen, jnp.ones((H, W, 1), f)], -1)
+    pen_clip = pen_h @ proj_view_model.T
+    pen_depth = pen_clip[..., 2] / jnp.where(pen_clip[..., 3] == 0, 1.0,
+                                             pen_clip[..., 3])
+    depth = jnp.where(hit, pen_depth, rays.depth_init)
+
+    if test == Test.NUM_TEXTURE_SAMPLES:
+        n_steps_max = jnp.floor(
+            jnp.ceil(f(dim_max) * jnp.sqrt(f(3.0))) * tf.sampling_factor
+        )
+        val = nsamp.astype(f) / n_steps_max
+        color = jnp.concatenate(
+            [jnp.stack([val, val, val], -1), jnp.ones((H, W, 1), f)], -1
+        )
+        color = jnp.where(covered[..., None], color, 0.0)
+
+    zi = jnp.zeros((H, W), jnp.int32)
+    return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
+                        num_distance_samples=zi, num_empty_samples=zi,
+                        iterations=jnp.int32(n_slabs))
+
+
+class PallasUnsupported(Exception):
+    """Raised when the view/volume violates the kernel's constraints; the
+    caller falls back to the XLA sweep."""
+
+
+def supports(rays: RaySetup, uniforms: FrameUniforms, vol_t_shape,
+             height: int, width: int, p_axis: int, R: int = 16) -> bool:
+    """Host-side feasibility check (see module docstring constraints):
+    every 8×128 pixel tile's source footprint must fit a (R-1)×254 texel
+    window for every slab in [0, 1]."""
+    Np, Sv, Su = vol_t_shape
+    if height % TILE_H or width % TILE_W:
+        return False
+    if Su < RECT_W or Sv < R:
+        return False
+
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    d = np.asarray(rays.ray_dir)
+    valid = np.asarray(rays.valid)
+    if not valid.any():
+        return True
+    d_p = d[..., p_axis]
+    ok = np.abs(d_p) > 1e-6
+    safe = np.where(ok, d_p, 1.0)
+    wu = np.where(valid & ok, d[..., u_ax] / safe, np.nan)
+    wv = np.where(valid & ok, d[..., v_ax] / safe, np.nan)
+    o_p = float(np.asarray(uniforms.cam_pos_tex)[p_axis])
+    t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
+
+    def tile_span(w, th, tw):
+        a = w.reshape(height // th, th, width // tw, tw)
+        a = np.transpose(a, (0, 2, 1, 3)).reshape(-1, th * tw)
+        with np.errstate(invalid="ignore"):
+            span = np.nanmax(a, axis=1) - np.nanmin(a, axis=1)
+        return np.nanmax(np.where(np.isnan(span), 0.0, span))
+
+    # The 128-aligned rect base can waste up to 127 leading texels, the
+    # 8-aligned base up to 7 rows; the tent filter needs one extra row.
+    span_u = tile_span(wu, TILE_H, TILE_W) * t_max * Su
+    span_v = tile_span(wv, TILE_H, TILE_W) * t_max * Sv
+    return bool(span_u <= 124 and span_v <= R - 10)
+
+
+def sweep_pallas(
+    vol_t,
+    occupancy_t,
+    tf: TFParams,
+    rays: RaySetup,
+    uniforms: FrameUniforms,
+    proj_view_model,
+    *,
+    p_axis: int,
+    ert: bool = True,
+    test: Test = Test.NONE,
+    count_samples: bool = False,
+    oversample: float = 1.0,
+    R: int = 16,
+    interpret: bool = False,
+) -> RenderOutput:
+    """Public entry. ``vol_t``/``occupancy_t`` must already be transposed for
+    ``p_axis`` (see sweep.transpose_for_axis). Entry/Exit test modes are
+    handled by the caller (identical to the XLA sweep)."""
+    H, W = rays.valid.shape
+    Np = vol_t.shape[0]
+    # Pick the smallest rect height that fits this view (bigger R costs a
+    # proportionally longer row loop).
+    for cand in (R, 24, 32, 48):
+        if cand >= R and supports(rays, uniforms, vol_t.shape, H, W, p_axis,
+                                  cand):
+            R = cand
+            break
+    else:
+        raise PallasUnsupported(
+            f"vol_t shape {vol_t.shape} image {H}x{W} violates kernel limits"
+        )
+    n_slabs = int(max(2, round(Np * oversample)))
+    if occupancy_t is None:
+        # No skipping: a full-volume bbox per slab.
+        occupancy_t = jnp.zeros((1, 1, 1), jnp.uint8)  # "occupied everywhere"
+    return _sweep_pallas_jit(
+        vol_t, occupancy_t, tf, rays, uniforms, proj_view_model,
+        p_axis=p_axis, R=R, ert=ert, test=test, count_samples=count_samples,
+        n_slabs=n_slabs, interpret=interpret,
+    )
