@@ -33,7 +33,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     dataset = os.environ.get("BENCH_DATASET", "beetle")
     skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
-    renderer = os.environ.get("BENCH_RENDERER", "sweep")
+    renderer = os.environ.get("BENCH_RENDERER", "pallas")
 
     import jax
 

@@ -74,7 +74,7 @@ def run_config(
     volume_u8=None,
     test: Test | None = None,
     ert: bool | None = None,
-    renderer: str = "sweep",
+    renderer: str = "pallas",
 ) -> BenchResult:
     ds = DATASETS[dataset_key]
     t_load = time.perf_counter()

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--orbit", type=float, default=0.0,
                    help="degrees of azimuth per frame (spin equivalent)")
     p.add_argument("--output", default=None, help="write a PNG snapshot")
+    p.add_argument("--renderer", default="pallas",
+                   choices=["marcher", "sweep", "pallas"],
+                   help="marcher = reference-exact ray march (parity oracle); "
+                        "sweep = XLA plane-sweep; pallas = TPU kernel "
+                        "(falls back to sweep when unsupported)")
     p.add_argument("--sweep", action="store_true",
                    help="run the full benchmark sweep "
                         "(scripts/benchmark.py equivalent) and write CSVs")
@@ -97,7 +102,8 @@ def main(argv=None) -> int:
         early_ray_termination=not args.no_ert,
         test=Test(args.test),
     )
-    engine = Engine(render_opts, benchmark_mode=args.benchmark > 0)
+    engine = Engine(render_opts, benchmark_mode=args.benchmark > 0,
+                    renderer=args.renderer)
 
     if args.synth:
         from .bench.datasets import DATASETS, synthesize
