@@ -51,9 +51,21 @@ DATASETS = {
 }
 
 
-def synthesize(ds: BenchDataset, seed: int = 0, scale: float = 1.0) -> np.ndarray:
+def synthesize(ds: BenchDataset, seed: int = 0, scale: float = 1.0,
+               cache_dir: str | None = ".cache") -> np.ndarray:
     """Build the uint8 (D, H, W) volume. ``scale`` < 1 shrinks extents
-    proportionally (for quick tests)."""
+    proportionally (for quick tests). Deterministic; results are cached on
+    disk (full-size volumes take ~2 min of numpy to synthesise)."""
+    import os
+
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"{ds.key}_s{seed}_x{scale}.npy")
+        if os.path.exists(path):
+            return np.load(path)
+        vol = synthesize(ds, seed, scale, cache_dir=None)
+        np.save(path, vol)
+        return vol
     w, h, d = (max(8, int(round(e * scale))) for e in ds.extent)
     rng = np.random.default_rng(seed + (hash(ds.key) % 1000))
     # Coarse correlated field, ~26 voxels per feature.

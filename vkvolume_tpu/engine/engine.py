@@ -268,7 +268,7 @@ class Engine:
             )
             if pallas_ok:
                 try:
-                    return sp.sweep_pallas(
+                    return sp.render_frame(
                         vol_t,
                         occ_t if self.options.skipping_type != SkippingType.NONE
                         else None,

@@ -528,3 +528,118 @@ def sweep_pallas(
         p_axis=p_axis, R=R, ert=ert, test=test, count_samples=count_samples,
         n_slabs=n_slabs, interpret=interpret,
     )
+
+
+def render_frame(
+    vol_t,
+    occupancy_t,
+    tf: TFParams,
+    rays: RaySetup,
+    uniforms: FrameUniforms,
+    proj_view_model,
+    *,
+    p_axis: int,
+    ert: bool = True,
+    test: Test = Test.NONE,
+    oversample: float = 1.0,
+    interpret: bool = False,
+) -> RenderOutput:
+    """General-camera production path: render on the uniform w-grid (where
+    the sweep kernel's footprint limits hold by construction — frustum.py),
+    then warp the finished image to pixels once (warp_pallas.py).
+
+    Raises PallasUnsupported when the view needs more than the oversampling
+    cap (extreme zoom-out) — callers fall back to the XLA sweep."""
+    from . import warp_pallas
+    from .frustum import build_wgrid
+
+    H, W = rays.valid.shape
+    if H % TILE_H or W % TILE_W:
+        raise PallasUnsupported(f"image {H}x{W} not tile-aligned")
+    if vol_t.shape[2] < RECT_W or vol_t.shape[1] < 16:
+        raise PallasUnsupported(f"volume {vol_t.shape} too small for rect DMA")
+
+    wg = build_wgrid(uniforms, rays, p_axis, vol_t.shape, H, W)
+    if wg is None:
+        raise PallasUnsupported("view exceeds w-grid oversampling cap")
+    warp_R = warp_pallas.required_R(wg.gx, wg.gy)
+    if warp_R is None:
+        raise PallasUnsupported("pixel→grid footprint too large for warp")
+
+    grid_out = sweep_pallas(
+        vol_t, occupancy_t, tf, wg.rays, uniforms, proj_view_model,
+        p_axis=p_axis, ert=ert, test=test, oversample=oversample,
+        interpret=interpret,
+    )
+
+    # Channels to warp: premultiplied luminance, alpha, depth (+ samples for
+    # the diagnostic image).
+    if test == Test.NUM_TEXTURE_SAMPLES:
+        chans = jnp.stack([
+            grid_out.color[..., 0],
+            grid_out.color[..., 3],
+            grid_out.depth,
+            grid_out.num_volume_samples.astype(jnp.float32),
+        ])
+    else:
+        chans = jnp.stack([
+            grid_out.color[..., 0],
+            grid_out.color[..., 3],
+            grid_out.depth,
+        ])
+    if interpret:
+        # Interpret-mode warp: plain XLA bilinear (testing only).
+        warped = _warp_reference(chans, wg.gx, wg.gy)
+    else:
+        warped = warp_pallas.warp_to_pixels(chans, wg.gx, wg.gy, R=warp_R)
+
+    lum, alpha, depth = warped[0], warped[1], warped[2]
+    covered = wg.gx > -5.0
+    depth = jnp.where(covered & (alpha > 0.0), depth, rays.depth_init)
+    color = jnp.stack([lum, lum, lum, alpha], -1)
+    nsamp = (
+        warped[3].astype(jnp.int32)
+        if test == Test.NUM_TEXTURE_SAMPLES else jnp.zeros((H, W), jnp.int32)
+    )
+    if test == Test.NUM_TEXTURE_SAMPLES:
+        f = jnp.float32
+        Np, Sv, Su = vol_t.shape
+        dim_max = max(Np, Sv, Su)
+        n_steps_max = jnp.floor(
+            jnp.ceil(f(dim_max) * jnp.sqrt(f(3.0))) * tf.sampling_factor
+        )
+        val = warped[3] / n_steps_max
+        color = jnp.concatenate(
+            [jnp.stack([val, val, val], -1), jnp.ones((H, W, 1), f)], -1
+        )
+        color = jnp.where(covered[..., None], color, 0.0)
+
+    zi = jnp.zeros((H, W), jnp.int32)
+    return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
+                        num_distance_samples=zi, num_empty_samples=zi,
+                        iterations=grid_out.iterations)
+
+
+def _warp_reference(chans: jax.Array, gx: jax.Array, gy: jax.Array):
+    """XLA bilinear warp (slow on TPU; used in interpret/test mode)."""
+    C, Hi, Wi = chans.shape
+    gxc = jnp.clip(gx, 0.0, Wi - 1.0)
+    gyc = jnp.clip(gy, 0.0, Hi - 1.0)
+    x0 = jnp.clip(jnp.floor(gxc).astype(jnp.int32), 0, Wi - 1)
+    y0 = jnp.clip(jnp.floor(gyc).astype(jnp.int32), 0, Hi - 1)
+    x1 = jnp.minimum(x0 + 1, Wi - 1)
+    y1 = jnp.minimum(y0 + 1, Hi - 1)
+    fx = gxc - jnp.floor(gxc)
+    fy = gyc - jnp.floor(gyc)
+    flat = chans.reshape(C, -1)
+
+    def tap(y, x):
+        return flat[:, (y * Wi + x).reshape(-1)].reshape((C,) + gx.shape)
+
+    c00 = tap(y0, x0); c01 = tap(y0, x1)
+    c10 = tap(y1, x0); c11 = tap(y1, x1)
+    c0 = c00 + (c01 - c00) * fx
+    c1 = c10 + (c11 - c10) * fx
+    out = c0 + (c1 - c0) * fy
+    inside = (gx > -5.0)[None]
+    return jnp.where(inside, out, 0.0)
