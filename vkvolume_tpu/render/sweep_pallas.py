@@ -62,10 +62,11 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     f = jnp.float32
     n_slabs = meta_ref[0]
     Np = meta_ref[1]
-    Sv = meta_ref[2]
+    Sv = meta_ref[2]             # logical extents (sampling clamps)
     Su = meta_ref[3]
     sgn_i = meta_ref[4]          # +1 / -1 slab iteration direction
-    Sv_pad = meta_ref[5]
+    Sv_pad = meta_ref[5]         # padded extents (aligned DMA bounds)
+    Su_pad = meta_ref[6]
 
     o_u = fpar_ref[0]
     o_v = fpar_ref[1]
@@ -111,7 +112,7 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         qv_lo = (o_v + jnp.minimum(wv_min * t, wv_max * t)) * Sv.astype(f) - 0.5
         u0 = jnp.floor(qu_lo).astype(jnp.int32)
         v0 = jnp.floor(qv_lo).astype(jnp.int32)
-        u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Su - RECT_W, 0))
+        u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Su_pad - RECT_W, 0))
         v0a = jnp.clip((v0 // 8) * 8, 0, jnp.maximum(Sv_pad - R, 0))
         return v0a, u0a
 
@@ -295,8 +296,13 @@ def _sweep_pallas_jit(
 ):
     f = jnp.float32
     H, W = rays.valid.shape
-    Np, Sv, Su_pad = vol_t.shape
+    Np, Sv, Su = vol_t.shape
     v_ax, u_ax = _SLICE_AXES[p_axis]
+    # Pad the slice axes so every clamped, aligned DMA base stays aligned.
+    Sv_pad = -(-max(Sv, R) // 8) * 8
+    Su_pad = -(-max(Su, RECT_W) // 128) * 128
+    if (Sv_pad, Su_pad) != (Sv, Su):
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, Sv_pad - Sv), (0, Su_pad - Su)))
 
     d = rays.ray_dir
     d_p = d[..., p_axis]
@@ -315,7 +321,7 @@ def _sweep_pallas_jit(
     s_hi = jnp.maximum(s_a, s_b)
     covered = rays.valid & (jnp.abs(d_p) > 1e-6)
     ds = 1.0 / n_slabs
-    dim_max = max(Np, Sv, Su_pad)  # Su_pad == padded; use logical via meta
+    dim_max = max(Np, Sv, Su)
     kappa = f(dim_max) * ds / jnp.abs(safe_dp)
 
     # ---- per-slab bboxes from the occupancy map ----
@@ -334,7 +340,7 @@ def _sweep_pallas_jit(
 
     bp_p = -(-Np // mp)
     bp_v = -(-Sv // mv)
-    bp_u = -(-(Su_pad) // mu)  # caller ensures occupancy matches logical dims
+    bp_u = -(-Su // mu)
 
     ks = jnp.arange(n_slabs, dtype=jnp.int32)
     s_ks = (ks.astype(f) + 0.5) * ds
@@ -355,9 +361,8 @@ def _sweep_pallas_jit(
         jnp.where(ne, umax, 0),
     ]).astype(jnp.int32)
 
-    Sv_logical = Sv
     meta = jnp.asarray(
-        [n_slabs, Np, Sv_logical, Su_pad, 0, Sv], jnp.int32
+        [n_slabs, Np, Sv, Su, 0, Sv_pad, Su_pad], jnp.int32
     ).at[4].set(jnp.where(sgn > 0, 1, -1).astype(jnp.int32))
     fpar = jnp.stack([
         o_u.astype(f), o_v.astype(f), o_p.astype(f), jnp.float32(ds),
