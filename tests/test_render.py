@@ -301,6 +301,9 @@ def test_first_hit_depth_written():
     out = _march(vol, s, SkippingType.NONE)
     valid = np.asarray(s["rays"].valid)
     depth = np.asarray(out.depth)
-    # reverse-Z: hits in front of the cleared 0.0
-    assert (depth[valid] > 0.0).all()
+    hit = np.asarray(out.color)[..., 3] > 0.0
+    # reverse-Z: hits write depth in front of the cleared 0.0; grazing valid
+    # rays that early-out (frag:182-187) keep the cleared value.
+    assert hit.any()
+    assert (depth[hit] > 0.0).all()
     assert (depth[~valid] == 0.0).all()
