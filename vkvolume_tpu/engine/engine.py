@@ -268,7 +268,7 @@ class Engine:
             )
             if pallas_ok:
                 try:
-                    return sp.render_frame(
+                    out = sp.render_frame(
                         vol_t,
                         occ_t if self.options.skipping_type != SkippingType.NONE
                         else None,
@@ -278,8 +278,11 @@ class Engine:
                         test=self.options.test,
                         oversample=float(volume.options.sampling_factor),
                     )
+                    self.last_renderer = "pallas"
+                    return out
                 except sp.PallasUnsupported:
                     pass
+        self.last_renderer = "sweep"
         return sweep_mod.sweep(
             vol_t, grad_t, occ_t, tf, rays, uniforms, pvm,
             p_axis=p,

@@ -158,21 +158,23 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
 
         return jax.lax.while_loop(cond, body, k)
 
-    def start_dma(k, slot):
+    def _dma(k, slot):
         v0a, u0a = rect_uv(k)
         k0 = k0_of(k)
         v0a = pl.multiple_of(v0a, 8)
         u0a = pl.multiple_of(u0a, 128)
-        pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             vol_ref.at[pl.ds(k0, 2), pl.ds(v0a, R), pl.ds(u0a, RECT_W)],
             scratch.at[slot],
             sems.at[slot],
-        ).start()
+        )
 
-    def wait_dma(slot):
-        # Wait on whatever copy was issued into this slot.
-        pltpu.make_async_copy(scratch.at[slot], scratch.at[slot],
-                              sems.at[slot]).wait()
+    def start_dma(k, slot):
+        _dma(k, slot).start()
+
+    def wait_dma(k, slot):
+        # Reconstruct the same descriptor that was issued into this slot.
+        _dma(k, slot).wait()
 
     zero = jnp.zeros((TILE_H, TILE_W), f)
     init_lum = zero
@@ -203,7 +205,7 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         def _():
             start_dma(k_nxt, 1 - slot)
 
-        wait_dma(slot)
+        wait_dma(k_cur, slot)
 
         # ---- Sample slab k_cur from scratch[slot] ----
         s = (k_cur.astype(f) + 0.5) * ds

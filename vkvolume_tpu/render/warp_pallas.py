@@ -46,10 +46,11 @@ def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
 
     @pl.when(any_in)
     def _():
-        pltpu.make_async_copy(
+        dma = pltpu.make_async_copy(
             src_ref.at[:, pl.ds(v0a, R), pl.ds(u0a, RECT_W)], scratch, sem
-        ).start()
-        pltpu.make_async_copy(scratch, scratch, sem).wait()
+        )
+        dma.start()
+        dma.wait()
 
     gxc = jnp.clip(gx, 0.0, Wi.astype(f) - 1.0)
     gyc = jnp.clip(gy, 0.0, Hi.astype(f) - 1.0)
