@@ -278,7 +278,15 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         loop_cond, loop_body,
         (k_first, jnp.int32(0), init_lum, init_alpha, init_firsts, init_nsamp),
     )
+    k_final, slot_final = final[0], final[1]
     lum, alpha, firsts, nsamp = final[2], final[3], final[4], final[5]
+
+    # Drain: when the loop exits early (ERT / range end) the prefetched DMA
+    # for k_final may still be in flight; its semaphore must be consumed or
+    # it poisons the next tile's waits.
+    @pl.when(any_cov & in_range(k_final))
+    def _():
+        wait_dma(k_final, slot_final)
 
     lum_ref[:] = lum
     alpha_ref[:] = alpha
