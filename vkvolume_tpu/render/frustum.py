@@ -91,8 +91,11 @@ def build_wgrid(
     # kernel_span_u texels: dwu * Su * t_max * tile_w <= kernel_span_u.
     du_pix = np.abs(np.diff(wu_pix, axis=1))[sel[:, 1:] & sel[:, :-1]]
     dv_pix = np.abs(np.diff(wv_pix, axis=0))[sel[1:, :] & sel[:-1, :]]
-    du_q = np.percentile(du_pix[du_pix > 0], 10) if (du_pix > 0).any() else 1e-6
-    dv_q = np.percentile(dv_pix[dv_pix > 0], 10) if (dv_pix > 0).any() else 1e-6
+    # Median pixel footprint: the grid resolves typical pixels 1:1; the
+    # densest (nearest-to-camera) pixels see slight smoothing. Keeps the
+    # grid — and the final warp's per-tile footprint — bounded.
+    du_q = np.percentile(du_pix[du_pix > 0], 50) if (du_pix > 0).any() else 1e-6
+    dv_q = np.percentile(dv_pix[dv_pix > 0], 50) if (dv_pix > 0).any() else 1e-6
 
     Wi_quality = (wu_hi - wu_lo) / max(du_q, 1e-9)
     Hi_quality = (wv_hi - wv_lo) / max(dv_q, 1e-9)

@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-RECT_W = 384
+RECT_W = 512
 
 
 def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
@@ -60,18 +60,19 @@ def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
     il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
     il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
 
+    N_HALVES = RECT_W // 128
+
     def u_tap(row_vreg_halves, il):
-        # 3-way half select for a 384-wide rect row.
-        h0, h1, h2 = row_vreg_halves
-        g = jnp.take_along_axis(h0, jnp.minimum(il, 127), axis=1)
-        g = jnp.where(
-            il < 128, g,
-            jnp.take_along_axis(h1, jnp.clip(il - 128, 0, 127), axis=1),
-        )
-        g = jnp.where(
-            il < 256, g,
-            jnp.take_along_axis(h2, jnp.clip(il - 256, 0, 127), axis=1),
-        )
+        # N-way half select for a RECT_W-wide rect row.
+        g = jnp.take_along_axis(row_vreg_halves[0], jnp.minimum(il, 127),
+                                axis=1)
+        for h in range(1, N_HALVES):
+            g = jnp.where(
+                il < 128 * h, g,
+                jnp.take_along_axis(
+                    row_vreg_halves[h],
+                    jnp.clip(il - 128 * h, 0, 127), axis=1),
+            )
         return g
 
     outs = []
@@ -84,7 +85,7 @@ def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
             halves = tuple(
                 jnp.broadcast_to(row[128 * h:128 * (h + 1)].reshape(1, 128),
                                  (TILE_H, 128))
-                for h in range(3)
+                for h in range(N_HALVES)
             )
             g0 = u_tap(halves, il0)
             g1 = u_tap(halves, il1)
@@ -152,7 +153,7 @@ def required_R(gx, gy, interpret_ok: bool = True) -> int | None:
     span_u = tile_span(gxa)
     if span_u > RECT_W - 132:
         return None
-    for R in (16, 24, 32, 48, 64, 96):
+    for R in (16, 24, 32, 48, 64, 96, 128, 192):
         if span_v <= R - 10:
             return R
     return None
