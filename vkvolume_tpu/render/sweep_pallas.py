@@ -545,79 +545,172 @@ def sweep_pallas(
     )
 
 
-def render_frame(
-    vol_t,
-    occupancy_t,
-    tf: TFParams,
-    rays: RaySetup,
-    uniforms: FrameUniforms,
-    proj_view_model,
-    *,
-    p_axis: int,
-    ert: bool = True,
-    test: Test = Test.NONE,
-    oversample: float = 1.0,
-    interpret: bool = False,
-) -> RenderOutput:
-    """General-camera production path: render on the uniform w-grid (where
-    the sweep kernel's footprint limits hold by construction — frustum.py),
-    then warp the finished image to pixels once (warp_pallas.py).
+def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
+               vol_shape_t, height: int, width: int,
+               max_oversample: float = 2.5, stride: int = 4):
+    """Host-side frame plan: grid sizing + static kernel parameters, from
+    subsampled ray fields (cheap; ~0.1M elements). Returns None when the
+    view violates the kernel limits (caller falls back to the XLA sweep)."""
+    Np, Sv, Su = vol_shape_t
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    d = np.asarray(rays.ray_dir[::stride, ::stride])
+    valid = np.asarray(rays.valid[::stride, ::stride])
+    if not valid.any():
+        return None
+    d_p = d[..., p_axis]
+    ok = np.abs(d_p) > 1e-6
+    safe = np.where(ok, d_p, 1.0)
+    wu = np.where(valid & ok, d[..., u_ax] / safe, np.nan)
+    wv = np.where(valid & ok, d[..., v_ax] / safe, np.nan)
+    sel = valid & ok
+    margin = 1.0 + 2.0 * stride / 128.0   # subsampling safety on spans
+    wu_lo = float(np.nanmin(wu)); wu_hi = float(np.nanmax(wu))
+    wv_lo = float(np.nanmin(wv)); wv_hi = float(np.nanmax(wv))
+    mu = max(1e-6, (wu_hi - wu_lo) * 0.02)
+    mv = max(1e-6, (wv_hi - wv_lo) * 0.02)
+    wu_lo -= mu; wu_hi += mu; wv_lo -= mv; wv_hi += mv
 
-    Raises PallasUnsupported when the view needs more than the oversampling
-    cap (extreme zoom-out) — callers fall back to the XLA sweep."""
-    from . import warp_pallas
-    from .frustum import build_wgrid
+    o_p = float(np.asarray(uniforms.cam_pos_tex)[p_axis])
+    t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
 
+    with np.errstate(invalid="ignore"):
+        du = np.abs(np.diff(wu, axis=1)) / stride
+        dv = np.abs(np.diff(wv, axis=0)) / stride
+    du = du[np.isfinite(du) & (du > 0)]
+    dv = dv[np.isfinite(dv) & (dv > 0)]
+    du_q = float(np.percentile(du, 50)) if du.size else 1e-6
+    dv_q = float(np.percentile(dv, 50)) if dv.size else 1e-6
+
+    Wi = max((wu_hi - wu_lo) / max(du_q, 1e-9),
+             (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0, 128.0)
+    Hi = max((wv_hi - wv_lo) / max(dv_q, 1e-9),
+             (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0, 8.0)
+    if Wi > width * max_oversample or Hi > height * max_oversample:
+        return None
+    Wi = -(-int(Wi) // 128) * 128
+    Hi = -(-int(Hi) // 8) * 8
+    dwu = (wu_hi - wu_lo) / Wi
+    dwv = (wv_hi - wv_lo) / Hi
+
+    # Sweep kernel rect height (analytic on the uniform grid).
+    span_v = 8.0 * dwv * Sv * t_max
+    R_sweep = None
+    for cand in (16, 24, 32, 48):
+        if span_v <= cand - 10:
+            R_sweep = cand
+            break
+    if R_sweep is None:
+        return None
+
+    # Warp rect height from per-tile pixel→grid spans (subsampled).
+    from . import warp_pallas as _wp
+
+    def tile_span(a):
+        th, tw = max(1, TILE_H // stride), max(1, TILE_W // stride)
+        hh = (a.shape[0] // th) * th
+        ww = (a.shape[1] // tw) * tw
+        t = a[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
+        t = np.transpose(t, (0, 2, 1, 3)).reshape(-1, th * tw)
+        with np.errstate(invalid="ignore"):
+            sp = np.nanmax(t, axis=1) - np.nanmin(t, axis=1)
+        sp = np.where(np.isnan(sp), 0.0, sp)
+        return float(np.max(sp)) * margin
+
+    span_gx = tile_span(wu) / dwu
+    span_gy = tile_span(wv) / dwv
+    if span_gx > _wp.RECT_W - 132:
+        return None
+    R_warp = None
+    for cand in (16, 24, 32, 48, 64, 96, 128, 192):
+        if span_gy <= cand - 10:
+            R_warp = cand
+            break
+    if R_warp is None:
+        return None
+
+    sgn_p = float(np.sign(np.nanmedian(np.where(sel, d_p, np.nan))) or 1.0)
+    return dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
+                wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
+                     "test", "n_slabs", "interpret", "sgn_p"),
+)
+def _frame_jit(
+    vol_t, occupancy_t, tf: TFParams, rays: RaySetup,
+    uniforms: FrameUniforms, proj_view_model, grid_params,
+    *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
+    interpret=False,
+):
+    """One fused frame: w-grid field construction → Pallas sweep → channel
+    stack → Pallas warp → pixel-space outputs. Everything per-frame lives
+    inside this jit; only the tiny plan runs on the host."""
+    from .frustum import rays_from_dirs
+
+    f = jnp.float32
     H, W = rays.valid.shape
-    if H % TILE_H or W % TILE_W:
-        raise PallasUnsupported(f"image {H}x{W} not tile-aligned")
-    if vol_t.shape[2] < RECT_W or vol_t.shape[1] < 16:
-        raise PallasUnsupported(f"volume {vol_t.shape} too small for rect DMA")
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
+                          grid_params[3])
 
-    wg = build_wgrid(uniforms, rays, p_axis, vol_t.shape, H, W)
-    if wg is None:
-        raise PallasUnsupported("view exceeds w-grid oversampling cap")
-    warp_R = warp_pallas.required_R(wg.gx, wg.gy)
-    if warp_R is None:
-        raise PallasUnsupported("pixel→grid footprint too large for warp")
+    gyi = jax.lax.broadcasted_iota(f, (Hi, Wi), 0)
+    gxi = jax.lax.broadcasted_iota(f, (Hi, Wi), 1)
+    wu_g = wu0 + (gxi + 0.5) * dwu
+    wv_g = wv0 + (gyi + 0.5) * dwv
+    dir_xyz = [None, None, None]
+    dir_xyz[p_axis] = jnp.full((Hi, Wi), f(sgn_p))
+    dir_xyz[u_ax] = wu_g * f(sgn_p)
+    dir_xyz[v_ax] = wv_g * f(sgn_p)
+    dirs = jnp.stack(dir_xyz, -1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_g = rays_from_dirs(uniforms, dirs)
 
-    grid_out = sweep_pallas(
-        vol_t, occupancy_t, tf, wg.rays, uniforms, proj_view_model,
-        p_axis=p_axis, ert=ert, test=test, oversample=oversample,
-        interpret=interpret,
+    grid_out = _sweep_pallas_jit(
+        vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model,
+        p_axis=p_axis, R=R_sweep, ert=ert, test=test,
+        count_samples=test == Test.NUM_TEXTURE_SAMPLES,
+        n_slabs=n_slabs, interpret=interpret,
     )
 
-    # Channels to warp: premultiplied luminance, alpha, depth (+ samples for
-    # the diagnostic image).
-    if test == Test.NUM_TEXTURE_SAMPLES:
+    # Pixel → grid coordinates from the pixel rays.
+    d = rays.ray_dir
+    d_p = d[..., p_axis]
+    okp = jnp.abs(d_p) > 1e-6
+    safe = jnp.where(okp, d_p, 1.0)
+    wu_pix = d[..., u_ax] / safe
+    wv_pix = d[..., v_ax] / safe
+    gx = (wu_pix - wu0) / dwu - 0.5
+    gy = (wv_pix - wv0) / dwv - 0.5
+    pix_ok = rays.valid & okp
+    gx = jnp.where(pix_ok, gx, -10.0)
+    gy = jnp.where(pix_ok, gy, -10.0)
+
+    num_test = test == Test.NUM_TEXTURE_SAMPLES
+    if num_test:
         chans = jnp.stack([
-            grid_out.color[..., 0],
-            grid_out.color[..., 3],
-            grid_out.depth,
-            grid_out.num_volume_samples.astype(jnp.float32),
+            grid_out.color[..., 0], grid_out.color[..., 3], grid_out.depth,
+            grid_out.num_volume_samples.astype(f),
         ])
     else:
         chans = jnp.stack([
-            grid_out.color[..., 0],
-            grid_out.color[..., 3],
-            grid_out.depth,
+            grid_out.color[..., 0], grid_out.color[..., 3], grid_out.depth,
         ])
     if interpret:
-        # Interpret-mode warp: plain XLA bilinear (testing only).
-        warped = _warp_reference(chans, wg.gx, wg.gy)
+        warped = _warp_reference(chans, gx, gy)
     else:
-        warped = warp_pallas.warp_to_pixels(chans, wg.gx, wg.gy, R=warp_R)
+        from . import warp_pallas
+
+        warped = warp_pallas.warp_to_pixels(chans, gx, gy, R=R_warp)
 
     lum, alpha, depth = warped[0], warped[1], warped[2]
-    covered = wg.gx > -5.0
+    covered = gx > -5.0
     depth = jnp.where(covered & (alpha > 0.0), depth, rays.depth_init)
     color = jnp.stack([lum, lum, lum, alpha], -1)
-    nsamp = (
-        warped[3].astype(jnp.int32)
-        if test == Test.NUM_TEXTURE_SAMPLES else jnp.zeros((H, W), jnp.int32)
-    )
-    if test == Test.NUM_TEXTURE_SAMPLES:
-        f = jnp.float32
+    nsamp = (warped[3].astype(jnp.int32) if num_test
+             else jnp.zeros((H, W), jnp.int32))
+    if num_test:
         Np, Sv, Su = vol_t.shape
         dim_max = max(Np, Sv, Su)
         n_steps_max = jnp.floor(
@@ -633,6 +726,41 @@ def render_frame(
     return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
                         num_distance_samples=zi, num_empty_samples=zi,
                         iterations=grid_out.iterations)
+
+
+def render_frame(
+    vol_t,
+    occupancy_t,
+    tf: TFParams,
+    rays: RaySetup,
+    uniforms: FrameUniforms,
+    proj_view_model,
+    *,
+    p_axis: int,
+    ert: bool = True,
+    test: Test = Test.NONE,
+    oversample: float = 1.0,
+    interpret: bool = False,
+) -> RenderOutput:
+    """General-camera production path: plan on the host (tiny, subsampled),
+    then run the fused w-grid sweep + warp jit (see _frame_jit)."""
+    H, W = rays.valid.shape
+    if H % TILE_H or W % TILE_W:
+        raise PallasUnsupported(f"image {H}x{W} not tile-aligned")
+    Np = vol_t.shape[0]
+    plan = plan_frame(uniforms, rays, p_axis, vol_t.shape, H, W)
+    if plan is None:
+        raise PallasUnsupported("view exceeds w-grid kernel limits")
+    n_slabs = int(max(2, round(Np * oversample)))
+    grid_params = jnp.asarray(
+        [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]], jnp.float32
+    )
+    return _frame_jit(
+        vol_t, occupancy_t, tf, rays, uniforms, proj_view_model, grid_params,
+        p_axis=p_axis, Hi=plan["Hi"], Wi=plan["Wi"],
+        R_sweep=plan["R_sweep"], R_warp=plan["R_warp"], ert=ert, test=test,
+        n_slabs=n_slabs, sgn_p=plan["sgn_p"], interpret=interpret,
+    )
 
 
 def _warp_reference(chans: jax.Array, gx: jax.Array, gy: jax.Array):
