@@ -545,27 +545,54 @@ def sweep_pallas(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("p_axis",))
+def _plan_stats_jit(rays: RaySetup, p_axis: int):
+    """Tiny on-device reductions feeding the host-side frame plan (bounds,
+    median footprints, per-tile spans, direction sign) — ~a dozen scalars."""
+    f = jnp.float32
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    d = rays.ray_dir
+    d_p = d[..., p_axis]
+    ok = jnp.abs(d_p) > 1e-6
+    sel = rays.valid & ok
+    safe = jnp.where(ok, d_p, 1.0)
+    nan = jnp.float32(jnp.nan)
+    wu = jnp.where(sel, d[..., u_ax] / safe, nan)
+    wv = jnp.where(sel, d[..., v_ax] / safe, nan)
+    H, W = d_p.shape
+
+    def tile_span_max(a):
+        t = a.reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
+        t = jnp.transpose(t, (0, 2, 1, 3)).reshape(-1, TILE_H * TILE_W)
+        sp = jnp.nanmax(t, axis=1) - jnp.nanmin(t, axis=1)
+        return jnp.nanmax(jnp.where(jnp.isnan(sp), 0.0, sp))
+
+    du = jnp.abs(jnp.diff(wu, axis=1))
+    dv = jnp.abs(jnp.diff(wv, axis=0))
+    return dict(
+        any_sel=jnp.any(sel),
+        wu_lo=jnp.nanmin(wu), wu_hi=jnp.nanmax(wu),
+        wv_lo=jnp.nanmin(wv), wv_hi=jnp.nanmax(wv),
+        du_q=jnp.nanmedian(jnp.where(du > 0, du, nan)),
+        dv_q=jnp.nanmedian(jnp.where(dv > 0, dv, nan)),
+        span_wu=tile_span_max(wu),
+        span_wv=tile_span_max(wv),
+        sgn=jnp.nanmedian(jnp.where(sel, d_p, nan)),
+    )
+
+
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
-               max_oversample: float = 2.5, stride: int = 4):
-    """Host-side frame plan: grid sizing + static kernel parameters, from
-    subsampled ray fields (cheap; ~0.1M elements). Returns None when the
-    view violates the kernel limits (caller falls back to the XLA sweep)."""
+               max_oversample: float = 2.5):
+    """Host-side frame plan: grid sizing + static kernel parameters from the
+    on-device statistics. Returns None when the view violates the kernel
+    limits (caller falls back to the XLA sweep)."""
     Np, Sv, Su = vol_shape_t
-    v_ax, u_ax = _SLICE_AXES[p_axis]
-    d = np.asarray(rays.ray_dir[::stride, ::stride])
-    valid = np.asarray(rays.valid[::stride, ::stride])
-    if not valid.any():
+    st = {k: float(v) for k, v in _plan_stats_jit(rays, p_axis).items()}
+    if not st["any_sel"]:
         return None
-    d_p = d[..., p_axis]
-    ok = np.abs(d_p) > 1e-6
-    safe = np.where(ok, d_p, 1.0)
-    wu = np.where(valid & ok, d[..., u_ax] / safe, np.nan)
-    wv = np.where(valid & ok, d[..., v_ax] / safe, np.nan)
-    sel = valid & ok
-    margin = 1.0 + 2.0 * stride / 128.0   # subsampling safety on spans
-    wu_lo = float(np.nanmin(wu)); wu_hi = float(np.nanmax(wu))
-    wv_lo = float(np.nanmin(wv)); wv_hi = float(np.nanmax(wv))
+    wu_lo, wu_hi = st["wu_lo"], st["wu_hi"]
+    wv_lo, wv_hi = st["wv_lo"], st["wv_hi"]
     mu = max(1e-6, (wu_hi - wu_lo) * 0.02)
     mv = max(1e-6, (wv_hi - wv_lo) * 0.02)
     wu_lo -= mu; wu_hi += mu; wv_lo -= mv; wv_hi += mv
@@ -573,18 +600,12 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
     o_p = float(np.asarray(uniforms.cam_pos_tex)[p_axis])
     t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
 
-    with np.errstate(invalid="ignore"):
-        du = np.abs(np.diff(wu, axis=1)) / stride
-        dv = np.abs(np.diff(wv, axis=0)) / stride
-    du = du[np.isfinite(du) & (du > 0)]
-    dv = dv[np.isfinite(dv) & (dv > 0)]
-    du_q = float(np.percentile(du, 50)) if du.size else 1e-6
-    dv_q = float(np.percentile(dv, 50)) if dv.size else 1e-6
-
-    Wi = max((wu_hi - wu_lo) / max(du_q, 1e-9),
+    Wi = max((wu_hi - wu_lo) / max(st["du_q"], 1e-9),
              (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0, 128.0)
-    Hi = max((wv_hi - wv_lo) / max(dv_q, 1e-9),
+    Hi = max((wv_hi - wv_lo) / max(st["dv_q"], 1e-9),
              (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0, 8.0)
+    if not (np.isfinite(Wi) and np.isfinite(Hi)):
+        return None
     if Wi > width * max_oversample or Hi > height * max_oversample:
         return None
     Wi = -(-int(Wi) // 128) * 128
@@ -602,22 +623,11 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
     if R_sweep is None:
         return None
 
-    # Warp rect height from per-tile pixel→grid spans (subsampled).
+    # Warp rect height from per-tile pixel→grid spans.
     from . import warp_pallas as _wp
 
-    def tile_span(a):
-        th, tw = max(1, TILE_H // stride), max(1, TILE_W // stride)
-        hh = (a.shape[0] // th) * th
-        ww = (a.shape[1] // tw) * tw
-        t = a[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
-        t = np.transpose(t, (0, 2, 1, 3)).reshape(-1, th * tw)
-        with np.errstate(invalid="ignore"):
-            sp = np.nanmax(t, axis=1) - np.nanmin(t, axis=1)
-        sp = np.where(np.isnan(sp), 0.0, sp)
-        return float(np.max(sp)) * margin
-
-    span_gx = tile_span(wu) / dwu
-    span_gy = tile_span(wv) / dwv
+    span_gx = st["span_wu"] / dwu
+    span_gy = st["span_wv"] / dwv
     if span_gx > _wp.RECT_W - 132:
         return None
     R_warp = None
@@ -628,7 +638,7 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
     if R_warp is None:
         return None
 
-    sgn_p = float(np.sign(np.nanmedian(np.where(sel, d_p, np.nan))) or 1.0)
+    sgn_p = 1.0 if st["sgn"] >= 0 else -1.0
     return dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
                 wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p)
 
