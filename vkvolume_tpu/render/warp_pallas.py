@@ -20,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
-RECT_W = 512
+RECT_W = 640
 
 
 def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
