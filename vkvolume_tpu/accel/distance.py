@@ -95,24 +95,54 @@ def relax(D: jax.Array, axis: int, direction: int = 0) -> jax.Array:
         pad_widths[axis] = (L, 0)
     padded = jnp.pad(D, pad_widths, constant_values=_I(255))
 
+    # Process CHUNK shift distances per while-loop iteration: the loop is
+    # dispatch-overhead-bound on TPU, and the early-exit bound (no cell can
+    # improve once n >= max(A)) only needs to be re-evaluated per chunk.
+    CHUNK = 8
+
     def cond(state):
         n, A = state
         return jnp.logical_and(n < L, n < jnp.max(A).astype(jnp.int32))
 
     def body(state):
         n, A = state
-        nn = n.astype(_I)
-        cands = []
-        if direction >= 0:
-            cands.append(_shift_dir(padded, axis, +1, n, L, two_sided=(direction == 0)))
-        if direction <= 0:
-            cands.append(_shift_dir(padded, axis, -1, n, L, two_sided=(direction == 0)))
-        for c in cands:
-            A = jnp.minimum(A, jnp.maximum(nn, c))
-        return n + 1, A
+        for j in range(CHUNK):
+            nj = n + j
+            # Guard: shifts past L would read clamped (wrong) slices; mask
+            # them to the neutral 255 candidate.
+            nj_safe = jnp.minimum(nj, L - 1)
+            nn = nj.astype(_I)
+            cands = []
+            if direction >= 0:
+                cands.append(
+                    _shift_dir(padded, axis, +1, nj_safe, L,
+                               two_sided=(direction == 0)))
+            if direction <= 0:
+                cands.append(
+                    _shift_dir(padded, axis, -1, nj_safe, L,
+                               two_sided=(direction == 0)))
+            for c in cands:
+                c = jnp.where(nj < L, c, _I(255))
+                A = jnp.minimum(A, jnp.maximum(nn, c))
+        return n + CHUNK, A
 
-    # n = 0 candidate is D itself.
+    # n = 0 candidate is D itself. Shift distances beyond the valid range
+    # only produce 255-padding candidates, which never win (<= ties).
     A0 = D
+    if L <= CHUNK:
+        n = jnp.int32(1)
+        A = A0
+        for j in range(1, L):
+            nn = jnp.int32(j).astype(_I)
+            if direction >= 0:
+                A = jnp.minimum(A, jnp.maximum(nn, _shift_dir(
+                    padded, axis, +1, jnp.int32(j), L,
+                    two_sided=(direction == 0))))
+            if direction <= 0:
+                A = jnp.minimum(A, jnp.maximum(nn, _shift_dir(
+                    padded, axis, -1, jnp.int32(j), L,
+                    two_sided=(direction == 0))))
+        return A
     _, A = jax.lax.while_loop(cond, body, (jnp.int32(1), A0))
     return A
 

@@ -136,7 +136,11 @@ class Engine:
                 # diagnostics (the reference also computes it, then skips the
                 # distance passes — src/compute_distance_map.cpp:96-99).
                 maps = occ[None]
-            return maps.block_until_ready()
+            maps.block_until_ready()
+            # Force a host round-trip: some transports report readiness
+            # before device completion, which would fake the timing.
+            float(maps.ravel()[0])
+            return maps
 
         runs = timed_runs if self.benchmark_mode else 1
         build_maps()  # warm the jit cache before timing (the reference's 5-run
