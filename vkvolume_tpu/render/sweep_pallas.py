@@ -55,6 +55,7 @@ RECT_W = 256
 
 def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             wu_ref, wv_ref, slo_ref, shi_ref, kap_ref, cov_ref,  # VMEM tiles
+            coarse_ref,                             # (mp, CVp, 128) u8 VMEM
             vol_ref,                                # ANY (manual DMA)
             lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
             scratch, sems,                          # (2,2,R,256) u8, DMA (2,)
@@ -67,6 +68,9 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     sgn_i = meta_ref[4]          # +1 / -1 slab iteration direction
     Sv_pad = meta_ref[5]         # padded extents (aligned DMA bounds)
     Su_pad = meta_ref[6]
+    bp_p = meta_ref[7]           # voxels per occupancy-map plane along p
+    CV = meta_ref[8]             # logical coarse-occupancy rows
+    CU = meta_ref[9]             # logical coarse-occupancy cols
 
     o_u = fpar_ref[0]
     o_v = fpar_ref[1]
@@ -75,6 +79,10 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     imin = fpar_ref[4]
     iinv = fpar_ref[5]
     vaf = fpar_ref[6]
+    inv_cvox_v = fpar_ref[7]     # 1 / (voxels per coarse cell along v)
+    inv_cvox_u = fpar_ref[8]
+    CVp = coarse_ref.shape[1]
+    mp_c = coarse_ref.shape[0]
 
     wu = wu_ref[:]
     wv = wv_ref[:]
@@ -131,7 +139,10 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         return jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
 
     def slab_valid(k):
-        """Occupied-bbox ∩ tile-footprint test (scalars, SMEM bbox)."""
+        """Per-(tile, slab) empty-space test: occupied-bbox overlap (SMEM
+        scalars) then an exact 2D query against the VMEM-resident coarse
+        occupancy grid — the sweep's analogue of the reference's per-ray
+        distance-map probes, amortised over a whole tile."""
         ok = in_range(k)
         kc = jnp.clip(k, 0, n_slabs - 1)
         bvmin = bbox_ref[0, kc]
@@ -146,7 +157,32 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             & (bvmin.astype(f) <= qv_hi + 1.0)
             & (bvmax.astype(f) >= qv_lo)
         )
-        return ok & hit
+
+        # 2D coarse-grid query: any occupied coarse cell inside the tile's
+        # (dilated) footprint on this slab's map plane. coarse_ref[m] is
+        # pre-OR'd with plane m+1, covering both interpolation planes.
+        m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
+        cv_lo = jnp.clip(jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32),
+                         0, CV - 1)
+        cv_hi = jnp.clip(jnp.floor((qv_hi + 2.0) * inv_cvox_v).astype(jnp.int32),
+                         0, CV - 1)
+        cu_lo = jnp.clip(jnp.floor((qu_lo - 1.0) * inv_cvox_u).astype(jnp.int32),
+                         0, CU - 1)
+        cu_hi = jnp.clip(jnp.floor((qu_hi + 2.0) * inv_cvox_u).astype(jnp.int32),
+                         0, CU - 1)
+        cv8 = jnp.clip((cv_lo // 8) * 8, 0, jnp.maximum(CVp - 16, 0))
+        cv8 = pl.multiple_of(cv8, 8)
+        block = coarse_ref[m0, pl.ds(cv8, 16), :]          # (16, 128) u8
+        rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + cv8
+        cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        mask = ((rows >= cv_lo) & (rows <= cv_hi)
+                & (cols >= cu_lo) & (cols <= cu_hi))
+        occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
+        # Defensive: if the window overflows the 16-row block (cannot happen
+        # for supported footprints), treat the slab as occupied.
+        occ_hit = occ_hit | (cv_hi > cv8 + 15)
+
+        return ok & hit & occ_hit
 
     def next_valid(k):
         """First k' (k inclusive, stepping sgn) with slab_valid, else k_end."""
@@ -371,12 +407,34 @@ def _sweep_pallas_jit(
         jnp.where(ne, umax, 0),
     ]).astype(jnp.int32)
 
+    # ---- coarse 2D occupancy grid for per-(tile, slab) culling ----
+    # Cell size: >= 8 voxels along v (bounds the in-kernel 16-row window),
+    # and mu pooled into <= 128 lanes along u.
+    factor_v = max(1, -(-8 // bp_v))
+    factor_u = max(-(-mu // 128), max(1, -(-8 // bp_u)))
+    CV = -(-mv // factor_v)
+    CU = -(-mu // factor_u)
+    occ_pad = jnp.pad(
+        occ, ((0, 0), (0, CV * factor_v - mv), (0, CU * factor_u - mu))
+    )
+    coarse = jnp.any(
+        occ_pad.reshape(mp, CV, factor_v, CU, factor_u), axis=(2, 4)
+    )
+    # OR with the next plane: slab k interpolates map planes m0 and m0+1.
+    coarse = coarse | jnp.concatenate([coarse[1:], coarse[-1:]], axis=0)
+    CVp = max(16, -(-CV // 8) * 8)
+    coarse_u8 = jnp.pad(
+        coarse.astype(jnp.uint8), ((0, 0), (0, CVp - CV), (0, 128 - CU))
+    )
+
     meta = jnp.asarray(
-        [n_slabs, Np, Sv, Su, 0, Sv_pad, Su_pad], jnp.int32
+        [n_slabs, Np, Sv, Su, 0, Sv_pad, Su_pad, bp_p, CV, CU], jnp.int32
     ).at[4].set(jnp.where(sgn > 0, 1, -1).astype(jnp.int32))
     fpar = jnp.stack([
         o_u.astype(f), o_v.astype(f), o_p.astype(f), jnp.float32(ds),
         tf.intensity_min, tf.intensity_range_inv, tf.voxel_alpha_factor,
+        jnp.float32(1.0 / (factor_v * bp_v)),
+        jnp.float32(1.0 / (factor_u * bp_u)),
     ])
 
     grid = (H // TILE_H, W // TILE_W)
@@ -396,6 +454,7 @@ def _sweep_pallas_jit(
             pl.BlockSpec((TILE_H, TILE_W), tile_map),   # s_hi
             pl.BlockSpec((TILE_H, TILE_W), tile_map),   # kappa
             pl.BlockSpec((TILE_H, TILE_W), tile_map),   # cov
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # coarse occupancy
             pl.BlockSpec(memory_space=pl.ANY),          # volume
         ],
         out_specs=[
@@ -424,6 +483,7 @@ def _sweep_pallas_jit(
         meta, fpar, bbox,
         wu.astype(f), wv.astype(f), s_lo.astype(f), s_hi.astype(f),
         kappa.astype(f), covered.astype(f),
+        coarse_u8,
         vol_t,
     )
 
