@@ -98,7 +98,7 @@ def relax(D: jax.Array, axis: int, direction: int = 0) -> jax.Array:
     # Process CHUNK shift distances per while-loop iteration: the loop is
     # dispatch-overhead-bound on TPU, and the early-exit bound (no cell can
     # improve once n >= max(A)) only needs to be re-evaluated per chunk.
-    CHUNK = 8
+    CHUNK = 32
 
     def cond(state):
         n, A = state

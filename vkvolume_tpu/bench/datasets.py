@@ -89,11 +89,28 @@ def synthesize(ds: BenchDataset, seed: int = 0, scale: float = 1.0,
     # Light fine-grain texture so gradients are non-trivial.
     field += 0.15 * rng.standard_normal(field.shape).astype(np.float32)
 
+    # Compact-object envelope: real CT scans are a connected specimen inside
+    # empty space (that structure is what gives the reference its ~8× ESS
+    # win — BASELINE.md); a lumpy superellipsoid bounds the occupied region
+    # to roughly the central half of each axis.
+    zz = (np.arange(d, dtype=np.float32) / d - 0.5) * 2.0
+    yy = (np.arange(h, dtype=np.float32) / h - 0.5) * 2.0
+    xx = (np.arange(w, dtype=np.float32) / w - 0.5) * 2.0
+    rad = (
+        (np.abs(zz[:, None, None]) / 0.62) ** 3
+        + (np.abs(yy[None, :, None]) / 0.58) ** 3
+        + (np.abs(xx[None, None, :]) / 0.58) ** 3
+    )
+    lumpy = upsample(upsample(upsample(
+        0.15 * rng.standard_normal((cd + 1, ch + 1, cw + 1)).astype(np.float32),
+        0, d), 1, h), 2, w)
+    envelope = np.clip(2.0 * (1.0 - rad) + lumpy, 0.0, 1.0)
+    field = (field - field.min()) * envelope
+
     # Remap so that P(value/255 > imin) == occupancy_pct.
     q = np.quantile(field, 1.0 - ds.occupancy_pct / 100.0)
-    lo = field.min()
     thr_u8 = ds.imin * 255.0
-    g = (field - lo) / max(q - lo, 1e-6) * thr_u8
+    g = field / max(q, 1e-6) * thr_u8
     return np.clip(g, 0.0, 255.0).astype(np.uint8)
 
 

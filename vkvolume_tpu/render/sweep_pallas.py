@@ -158,31 +158,38 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             & (bvmax.astype(f) >= qv_lo)
         )
 
-        # 2D coarse-grid query: any occupied coarse cell inside the tile's
-        # (dilated) footprint on this slab's map plane. coarse_ref[m] is
-        # pre-OR'd with plane m+1, covering both interpolation planes.
-        m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
-        cv_lo = jnp.clip(jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32),
-                         0, CV - 1)
-        cv_hi = jnp.clip(jnp.floor((qv_hi + 2.0) * inv_cvox_v).astype(jnp.int32),
-                         0, CV - 1)
-        cu_lo = jnp.clip(jnp.floor((qu_lo - 1.0) * inv_cvox_u).astype(jnp.int32),
-                         0, CU - 1)
-        cu_hi = jnp.clip(jnp.floor((qu_hi + 2.0) * inv_cvox_u).astype(jnp.int32),
-                         0, CU - 1)
-        cv8 = jnp.clip((cv_lo // 8) * 8, 0, jnp.maximum(CVp - 16, 0))
-        cv8 = pl.multiple_of(cv8, 8)
-        block = coarse_ref[m0, pl.ds(cv8, 16), :]          # (16, 128) u8
-        rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + cv8
-        cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        mask = ((rows >= cv_lo) & (rows <= cv_hi)
-                & (cols >= cu_lo) & (cols <= cu_hi))
-        occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
-        # Defensive: if the window overflows the 16-row block (cannot happen
-        # for supported footprints), treat the slab as occupied.
-        occ_hit = occ_hit | (cv_hi > cv8 + 15)
+        def coarse_test(_):
+            # 2D coarse-grid query: any occupied coarse cell inside the
+            # tile's (dilated) footprint on this slab's map plane.
+            # coarse_ref[m] is pre-OR'd with plane m+1 (both interp planes).
+            m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
+            cv_lo = jnp.clip(
+                jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32),
+                0, CV - 1)
+            cv_hi = jnp.clip(
+                jnp.floor((qv_hi + 2.0) * inv_cvox_v).astype(jnp.int32),
+                0, CV - 1)
+            cu_lo = jnp.clip(
+                jnp.floor((qu_lo - 1.0) * inv_cvox_u).astype(jnp.int32),
+                0, CU - 1)
+            cu_hi = jnp.clip(
+                jnp.floor((qu_hi + 2.0) * inv_cvox_u).astype(jnp.int32),
+                0, CU - 1)
+            cv8 = jnp.clip((cv_lo // 8) * 8, 0, jnp.maximum(CVp - 16, 0))
+            cv8 = pl.multiple_of(cv8, 8)
+            block = coarse_ref[m0, pl.ds(cv8, 16), :]      # (16, 128) u8
+            rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + cv8
+            cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+            mask = ((rows >= cv_lo) & (rows <= cv_hi)
+                    & (cols >= cu_lo) & (cols <= cu_hi))
+            occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
+            # Defensive: windows overflowing the 16-row block (impossible for
+            # supported footprints) count as occupied.
+            return occ_hit | (cv_hi > cv8 + 15)
 
-        return ok & hit & occ_hit
+        # Only run the vector query when the cheap scalar bbox test passes.
+        return jax.lax.cond(ok & hit, coarse_test,
+                            lambda _: jnp.bool_(False), operand=None)
 
     def next_valid(k):
         """First k' (k inclusive, stepping sgn) with slab_valid, else k_end."""
