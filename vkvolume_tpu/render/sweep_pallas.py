@@ -104,8 +104,10 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     # Slab index range covering [s_lo_t, s_hi_t]: s_k = (k + 0.5) * ds.
     k_a = jnp.floor(s_lo_t / ds - 0.5).astype(jnp.int32)
     k_b = jnp.ceil(s_hi_t / ds - 0.5).astype(jnp.int32)
-    k_a = jnp.clip(k_a, 0, n_slabs - 1)
-    k_b = jnp.clip(k_b, 0, n_slabs - 1)
+    # Clamp to the globally occupied slab range (meta[10..11]) — slabs
+    # outside it are empty for every tile.
+    k_a = jnp.clip(jnp.maximum(k_a, meta_ref[10]), 0, n_slabs - 1)
+    k_b = jnp.clip(jnp.minimum(k_b, meta_ref[11]), 0, n_slabs - 1)
     k_begin = jnp.where(sgn_i > 0, k_a, k_b)
     k_end = jnp.where(sgn_i > 0, k_b + 1, k_a - 1)   # exclusive
 
@@ -139,10 +141,8 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         return jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
 
     def slab_valid(k):
-        """Per-(tile, slab) empty-space test: occupied-bbox overlap (SMEM
-        scalars) then an exact 2D query against the VMEM-resident coarse
-        occupancy grid — the sweep's analogue of the reference's per-ray
-        distance-map probes, amortised over a whole tile."""
+        """Cheap scalar test driving the skip loop: in-range ∧ per-slab
+        occupied-bbox overlap with the tile footprint (SMEM scalars)."""
         ok = in_range(k)
         kc = jnp.clip(k, 0, n_slabs - 1)
         bvmin = bbox_ref[0, kc]
@@ -157,39 +157,34 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             & (bvmin.astype(f) <= qv_hi + 1.0)
             & (bvmax.astype(f) >= qv_lo)
         )
+        return ok & hit
 
-        def coarse_test(_):
-            # 2D coarse-grid query: any occupied coarse cell inside the
-            # tile's (dilated) footprint on this slab's map plane.
-            # coarse_ref[m] is pre-OR'd with plane m+1 (both interp planes).
-            m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
-            cv_lo = jnp.clip(
-                jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32),
-                0, CV - 1)
-            cv_hi = jnp.clip(
-                jnp.floor((qv_hi + 2.0) * inv_cvox_v).astype(jnp.int32),
-                0, CV - 1)
-            cu_lo = jnp.clip(
-                jnp.floor((qu_lo - 1.0) * inv_cvox_u).astype(jnp.int32),
-                0, CU - 1)
-            cu_hi = jnp.clip(
-                jnp.floor((qu_hi + 2.0) * inv_cvox_u).astype(jnp.int32),
-                0, CU - 1)
-            cv8 = jnp.clip((cv_lo // 8) * 8, 0, jnp.maximum(CVp - 16, 0))
-            cv8 = pl.multiple_of(cv8, 8)
-            block = coarse_ref[m0, pl.ds(cv8, 16), :]      # (16, 128) u8
-            rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + cv8
-            cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-            mask = ((rows >= cv_lo) & (rows <= cv_hi)
-                    & (cols >= cu_lo) & (cols <= cu_hi))
-            occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
-            # Defensive: windows overflowing the 16-row block (impossible for
-            # supported footprints) count as occupied.
-            return occ_hit | (cv_hi > cv8 + 15)
-
-        # Only run the vector query when the cheap scalar bbox test passes.
-        return jax.lax.cond(ok & hit, coarse_test,
-                            lambda _: jnp.bool_(False), operand=None)
+    def coarse_occupied(k):
+        """Exact 2D query against the VMEM coarse occupancy grid: any
+        occupied coarse cell inside the tile's (dilated) footprint on slab
+        k's map plane (coarse_ref[m] is pre-OR'd with plane m+1). Run once
+        per candidate slab in the sampling body — failing it skips the whole
+        sampling block."""
+        kc = jnp.clip(k, 0, n_slabs - 1)
+        qu_lo, qu_hi, qv_lo, qv_hi = qu_bounds(kc)
+        m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
+        cv_lo = jnp.clip(
+            jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32), 0, CV - 1)
+        cv_hi = jnp.clip(
+            jnp.floor((qv_hi + 2.0) * inv_cvox_v).astype(jnp.int32), 0, CV - 1)
+        cu_lo = jnp.clip(
+            jnp.floor((qu_lo - 1.0) * inv_cvox_u).astype(jnp.int32), 0, CU - 1)
+        cu_hi = jnp.clip(
+            jnp.floor((qu_hi + 2.0) * inv_cvox_u).astype(jnp.int32), 0, CU - 1)
+        cv8 = jnp.clip((cv_lo // 8) * 8, 0, jnp.maximum(CVp - 16, 0))
+        cv8 = pl.multiple_of(cv8, 8)
+        block = coarse_ref[m0, pl.ds(cv8, 16), :]          # (16, 128) u8
+        rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + cv8
+        cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        mask = ((rows >= cv_lo) & (rows <= cv_hi)
+                & (cols >= cu_lo) & (cols <= cu_hi))
+        occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
+        return occ_hit | (cv_hi > cv8 + 15)
 
     def next_valid(k):
         """First k' (k inclusive, stepping sgn) with slab_valid, else k_end."""
@@ -250,72 +245,83 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
 
         wait_dma(k_cur, slot)
 
-        # ---- Sample slab k_cur from scratch[slot] ----
-        s = (k_cur.astype(f) + 0.5) * ds
-        t = s - o_p
-        zp = s * Np.astype(f) - 0.5
-        k0 = jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
-        fp = jnp.clip(zp - k0.astype(f), 0.0, 1.0)
-        v0a, u0a = rect_uv(k_cur)
+        do_sample = coarse_occupied(k_cur)
 
-        qu = (o_u + wu * t) * Su.astype(f) - 0.5
-        qv = (o_v + wv * t) * Sv.astype(f) - 0.5
-        qv = jnp.clip(qv, 0.0, Sv.astype(f) - 1.0)
-        iu0 = jnp.clip(jnp.floor(qu).astype(jnp.int32), 0, Su - 1)
-        iu1 = jnp.minimum(iu0 + 1, Su - 1)
-        fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
-        il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
-        il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
-        lo_mask0 = il0 < 128
-        lo_mask1 = il1 < 128
-        il0_lo = jnp.minimum(il0, 127)
-        il0_hi = jnp.maximum(il0 - 128, 0)
-        il1_lo = jnp.minimum(il1, 127)
-        il1_hi = jnp.maximum(il1 - 128, 0)
+        def sample_block(carry):
+            lum, alpha, firsts, nsamp = carry
+            # ---- Sample slab k_cur from scratch[slot] ----
+            s = (k_cur.astype(f) + 0.5) * ds
+            t = s - o_p
+            zp = s * Np.astype(f) - 0.5
+            k0 = jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
+            fp = jnp.clip(zp - k0.astype(f), 0.0, 1.0)
+            v0a, u0a = rect_uv(k_cur)
 
-        acc = zero
-        for r in range(R):
-            vg = (v0a + r).astype(f)
-            w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
-            # Plane lerp first (shared scalar weight), then u gathers.
-            row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
-            row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
-            row = row0 * (1.0 - fp) + row1 * fp          # (256,)
-            lo = jnp.broadcast_to(row[0:128].reshape(1, 128), (TILE_H, 128))
-            hi = jnp.broadcast_to(row[128:256].reshape(1, 128), (TILE_H, 128))
-            g0 = jnp.where(
-                lo_mask0,
-                jnp.take_along_axis(lo, il0_lo, axis=1),
-                jnp.take_along_axis(hi, il0_hi, axis=1),
-            )
-            g1 = jnp.where(
-                lo_mask1,
-                jnp.take_along_axis(lo, il1_lo, axis=1),
-                jnp.take_along_axis(hi, il1_hi, axis=1),
-            )
-            col = g0 + (g1 - g0) * fu
-            acc = acc + w_hat * col
+            qu = (o_u + wu * t) * Su.astype(f) - 0.5
+            qv = (o_v + wv * t) * Sv.astype(f) - 0.5
+            qv = jnp.clip(qv, 0.0, Sv.astype(f) - 1.0)
+            iu0 = jnp.clip(jnp.floor(qu).astype(jnp.int32), 0, Su - 1)
+            iu1 = jnp.minimum(iu0 + 1, Su - 1)
+            fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
+            il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
+            il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
+            lo_mask0 = il0 < 128
+            lo_mask1 = il1 < 128
+            il0_lo = jnp.minimum(il0, 127)
+            il0_hi = jnp.maximum(il0 - 128, 0)
+            il1_lo = jnp.minimum(il1, 127)
+            il1_hi = jnp.maximum(il1 - 128, 0)
 
-        intensity = acc * f(1.0 / 255.0)
-        a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
+            acc = zero
+            for r in range(R):
+                vg = (v0a + r).astype(f)
+                w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
+                # Plane lerp first (shared scalar weight), then u gathers.
+                row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
+                row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
+                row = row0 * (1.0 - fp) + row1 * fp          # (256,)
+                lo = jnp.broadcast_to(row[0:128].reshape(1, 128), (TILE_H, 128))
+                hi = jnp.broadcast_to(row[128:256].reshape(1, 128), (TILE_H, 128))
+                g0 = jnp.where(
+                    lo_mask0,
+                    jnp.take_along_axis(lo, il0_lo, axis=1),
+                    jnp.take_along_axis(hi, il0_hi, axis=1),
+                )
+                g1 = jnp.where(
+                    lo_mask1,
+                    jnp.take_along_axis(lo, il1_lo, axis=1),
+                    jnp.take_along_axis(hi, il1_hi, axis=1),
+                )
+                col = g0 + (g1 - g0) * fu
+                acc = acc + w_hat * col
 
-        in_rng = cov & (s >= s_lo) & (s <= s_hi)
-        if ert:
-            in_rng = in_rng & (alpha <= 0.99)
-        a_corr = jnp.clip(vaf * (1.0 - jnp.power(1.0 - a_tf, kappa)), 0.0, 1.0)
-        contrib = in_rng & (a_tf > 0.0)
-        one_m = 1.0 - alpha
-        lum = jnp.where(contrib, lum + one_m * a_tf * a_corr, lum)
-        new_alpha = jnp.where(contrib, alpha + one_m * a_corr, alpha)
-        hit = contrib & (a_corr > 0.0) & (firsts > 1.5)
-        firsts = jnp.where(hit, s, firsts)
-        if ert:
-            sat = contrib & (new_alpha > 0.99)
-            new_alpha = jnp.where(sat, 1.0, new_alpha)
-        if count_samples:
-            nsamp = nsamp + in_rng
+            intensity = acc * f(1.0 / 255.0)
+            a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
 
-        return (k_nxt, 1 - slot, lum, new_alpha, firsts, nsamp)
+            in_rng = cov & (s >= s_lo) & (s <= s_hi)
+            if ert:
+                in_rng = in_rng & (alpha <= 0.99)
+            a_corr = jnp.clip(vaf * (1.0 - jnp.power(1.0 - a_tf, kappa)),
+                              0.0, 1.0)
+            contrib = in_rng & (a_tf > 0.0)
+            one_m = 1.0 - alpha
+            lum = jnp.where(contrib, lum + one_m * a_tf * a_corr, lum)
+            new_alpha = jnp.where(contrib, alpha + one_m * a_corr, alpha)
+            hit = contrib & (a_corr > 0.0) & (firsts > 1.5)
+            firsts = jnp.where(hit, s, firsts)
+            if ert:
+                sat = contrib & (new_alpha > 0.99)
+                new_alpha = jnp.where(sat, 1.0, new_alpha)
+            if count_samples:
+                nsamp = nsamp + in_rng
+            return lum, new_alpha, firsts, nsamp
+
+        lum, alpha, firsts, nsamp = jax.lax.cond(
+            do_sample, sample_block, lambda c: c,
+            (lum, alpha, firsts, nsamp),
+        )
+
+        return (k_nxt, 1 - slot, lum, alpha, firsts, nsamp)
 
     final = jax.lax.while_loop(
         loop_cond, loop_body,
@@ -434,9 +440,14 @@ def _sweep_pallas_jit(
         coarse.astype(jnp.uint8), ((0, 0), (0, CVp - CV), (0, 128 - CU))
     )
 
+    ks_i = jnp.arange(n_slabs, dtype=jnp.int32)
+    k_occ_lo = jnp.min(jnp.where(ne, ks_i, jnp.int32(n_slabs)))
+    k_occ_hi = jnp.max(jnp.where(ne, ks_i, jnp.int32(-1)))
     meta = jnp.asarray(
-        [n_slabs, Np, Sv, Su, 0, Sv_pad, Su_pad, bp_p, CV, CU], jnp.int32
+        [n_slabs, Np, Sv, Su, 0, Sv_pad, Su_pad, bp_p, CV, CU, 0, 0],
+        jnp.int32,
     ).at[4].set(jnp.where(sgn > 0, 1, -1).astype(jnp.int32))
+    meta = meta.at[10].set(k_occ_lo).at[11].set(k_occ_hi)
     fpar = jnp.stack([
         o_u.astype(f), o_v.astype(f), o_p.astype(f), jnp.float32(ds),
         tf.intensity_min, tf.intensity_range_inv, tf.voxel_alpha_factor,
