@@ -255,7 +255,11 @@ class Engine:
         # are 0 exactly at occupied cells, occupancy is OCCUPIED=0).
         occ_t = None
         if volume.dist_maps is not None:
-            occ_t = sweep_mod.transpose_for_axis(volume.dist_maps[0], p)
+            occ_key = ("occ", p, id(volume.dist_maps))
+            occ_t = cache.get(occ_key)
+            if occ_t is None:
+                occ_t = sweep_mod.transpose_for_axis(volume.dist_maps[0], p)
+                cache[occ_key] = occ_t
         tf = self._tf(volume)
         pvm = jnp.asarray(
             (camera.proj.astype(np.float64)
@@ -269,23 +273,42 @@ class Engine:
             pallas_ok = (
                 not tf.use_gradient
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
+                and height % 8 == 0 and width % 128 == 0
+                and vol_t.shape[2] >= 256 and vol_t.shape[1] >= 16
             )
             if pallas_ok:
-                try:
-                    out = sp.render_frame(
-                        vol_t,
-                        occ_t if self.options.skipping_type != SkippingType.NONE
-                        else None,
-                        tf, rays, uniforms, pvm,
-                        p_axis=p,
+                stats = {
+                    k: float(v)
+                    for k, v in sp._plan_stats_jit(rays, p).items()
+                }
+                plan = sp.plan_from_stats(stats, uniforms, p, vol_t.shape,
+                                          height, width)
+                if plan is not None:
+                    import jax.numpy as _jnp
+
+                    occ_arr = (
+                        occ_t
+                        if self.options.skipping_type != SkippingType.NONE
+                        and occ_t is not None
+                        else _jnp.zeros((1, 1, 1), _jnp.uint8)
+                    )
+                    n_slabs = int(max(2, round(
+                        vol_t.shape[0] * float(volume.options.sampling_factor)
+                    )))
+                    gp = _jnp.asarray(
+                        [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]],
+                        _jnp.float32,
+                    )
+                    out = sp._frame_jit(
+                        vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
+                        p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
+                        R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
                         ert=self.options.early_ray_termination,
-                        test=self.options.test,
-                        oversample=float(volume.options.sampling_factor),
+                        test=self.options.test, n_slabs=n_slabs,
+                        sgn_p=plan["sgn_p"],
                     )
                     self.last_renderer = "pallas"
                     return out
-                except sp.PallasUnsupported:
-                    pass
         self.last_renderer = "sweep"
         return sweep_mod.sweep(
             vol_t, grad_t, occ_t, tf, rays, uniforms, pvm,

@@ -623,6 +623,30 @@ def sweep_pallas(
     )
 
 
+def principal_axis_from_uniforms(uniforms: FrameUniforms) -> int:
+    """Dominant view-direction axis from the central ray (host numpy; avoids
+    a device round-trip before the main frame jit)."""
+    vpi = np.asarray(uniforms.view_proj_inv, np.float64)
+    g2t = np.asarray(uniforms.global_to_tex, np.float64)
+    o = np.asarray(uniforms.cam_pos_tex, np.float64)
+    clip = np.array([0.0, 0.0, 0.0, 1.0])
+    world = vpi @ clip
+    world = world[:3] / world[3]
+    pt = (g2t @ np.append(world, 1.0))[:3]
+    d = pt - o
+    return int(np.argmax(np.abs(d)))
+
+
+@functools.partial(jax.jit, static_argnames=("p_axis", "height", "width"))
+def _rays_and_stats_jit(uniforms: FrameUniforms, height: int, width: int,
+                        p_axis: int):
+    """Fused per-frame prep: pixel rays + the plan statistics (one dispatch)."""
+    from .ray_setup import make_rays
+
+    rays = make_rays(uniforms, height, width)
+    return rays, _plan_stats_jit(rays, p_axis)
+
+
 @functools.partial(jax.jit, static_argnames=("p_axis",))
 def _plan_stats_jit(rays: RaySetup, p_axis: int):
     """Tiny on-device reductions feeding the host-side frame plan (bounds,
@@ -662,11 +686,18 @@ def _plan_stats_jit(rays: RaySetup, p_axis: int):
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
                max_oversample: float = 2.5):
-    """Host-side frame plan: grid sizing + static kernel parameters from the
-    on-device statistics. Returns None when the view violates the kernel
-    limits (caller falls back to the XLA sweep)."""
-    Np, Sv, Su = vol_shape_t
+    """Host-side frame plan from per-pixel rays (see plan_from_stats)."""
     st = {k: float(v) for k, v in _plan_stats_jit(rays, p_axis).items()}
+    return plan_from_stats(st, uniforms, p_axis, vol_shape_t, height, width,
+                           max_oversample)
+
+
+def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
+                    height: int, width: int, max_oversample: float = 2.5):
+    """Grid sizing + static kernel parameters from the on-device statistics.
+    Returns None when the view violates the kernel limits (caller falls back
+    to the XLA sweep)."""
+    Np, Sv, Su = vol_shape_t
     if not st["any_sel"]:
         return None
     wu_lo, wu_hi = st["wu_lo"], st["wu_hi"]
