@@ -220,11 +220,18 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     init_firsts = jnp.full((TILE_H, TILE_W), 2.0, f)
     init_nsamp = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
+    # 3-deep prefetch pipeline: while slab k_cur is sampled, the rects for
+    # the next three valid slabs stream in (hides the per-rect DMA latency
+    # that otherwise serialises the slab loop).
     k_first = next_valid(k_begin)
+    k1_0 = next_valid(k_first + sgn_i)
+    k2_0 = next_valid(k1_0 + sgn_i)
+    k3_0 = next_valid(k2_0 + sgn_i)
 
-    @pl.when(any_cov & in_range(k_first))
-    def _():
-        start_dma(k_first, 0)
+    for i, kk in enumerate((k_first, k1_0, k2_0, k3_0)):
+        @pl.when(any_cov & in_range(kk))
+        def _(kk=kk, i=i):
+            start_dma(kk, i)
 
     def live(alpha):
         if not ert:
@@ -232,16 +239,12 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         return jnp.any(cov & (alpha <= 0.99))
 
     def loop_cond(st):
-        k_cur, slot, lum, alpha, firsts, nsamp = st
+        k_cur = st[0]
+        alpha = st[6]
         return any_cov & in_range(k_cur) & live(alpha)
 
     def loop_body(st):
-        k_cur, slot, lum, alpha, firsts, nsamp = st
-        k_nxt = next_valid(k_cur + sgn_i)
-
-        @pl.when(in_range(k_nxt))
-        def _():
-            start_dma(k_nxt, 1 - slot)
+        k_cur, k1, k2, k3, slot, lum, alpha, firsts, nsamp = st
 
         wait_dma(k_cur, slot)
 
@@ -276,12 +279,13 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             for r in range(R):
                 vg = (v0a + r).astype(f)
                 w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
-                # Plane lerp first (shared scalar weight), then u gathers.
                 row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
                 row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
                 row = row0 * (1.0 - fp) + row1 * fp          # (256,)
-                lo = jnp.broadcast_to(row[0:128].reshape(1, 128), (TILE_H, 128))
-                hi = jnp.broadcast_to(row[128:256].reshape(1, 128), (TILE_H, 128))
+                lo = jnp.broadcast_to(row[0:128].reshape(1, 128),
+                                      (TILE_H, 128))
+                hi = jnp.broadcast_to(row[128:256].reshape(1, 128),
+                                      (TILE_H, 128))
                 g0 = jnp.where(
                     lo_mask0,
                     jnp.take_along_axis(lo, il0_lo, axis=1),
@@ -321,21 +325,31 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             (lum, alpha, firsts, nsamp),
         )
 
-        return (k_nxt, 1 - slot, lum, alpha, firsts, nsamp)
+        # Refill the pipeline: slot just freed takes the 4th slab ahead.
+        k4 = next_valid(k3 + sgn_i)
+
+        @pl.when(in_range(k4))
+        def _():
+            start_dma(k4, slot)
+
+        return (k1, k2, k3, k4, jax.lax.rem(slot + 1, 4),
+                lum, alpha, firsts, nsamp)
 
     final = jax.lax.while_loop(
         loop_cond, loop_body,
-        (k_first, jnp.int32(0), init_lum, init_alpha, init_firsts, init_nsamp),
+        (k_first, k1_0, k2_0, k3_0, jnp.int32(0),
+         init_lum, init_alpha, init_firsts, init_nsamp),
     )
-    k_final, slot_final = final[0], final[1]
-    lum, alpha, firsts, nsamp = final[2], final[3], final[4], final[5]
+    k_f0, k_f1, k_f2, k_f3, slot_f = final[0], final[1], final[2], final[3], final[4]
+    lum, alpha, firsts, nsamp = final[5], final[6], final[7], final[8]
 
-    # Drain: when the loop exits early (ERT / range end) the prefetched DMA
-    # for k_final may still be in flight; its semaphore must be consumed or
-    # it poisons the next tile's waits.
-    @pl.when(any_cov & in_range(k_final))
-    def _():
-        wait_dma(k_final, slot_final)
+    # Drain: on early exit (ERT / range end) up to four prefetched DMAs may
+    # still be in flight; their semaphores must be consumed or they poison
+    # the next tile's waits.
+    for i, kk in enumerate((k_f0, k_f1, k_f2, k_f3)):
+        @pl.when(any_cov & in_range(kk))
+        def _(kk=kk, i=i):
+            wait_dma(kk, jax.lax.rem(slot_f + i, 4))
 
     lum_ref[:] = lum
     alpha_ref[:] = alpha
@@ -482,8 +496,8 @@ def _sweep_pallas_jit(
             pl.BlockSpec((TILE_H, TILE_W), tile_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, R, RECT_W), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 2, R, RECT_W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
