@@ -248,7 +248,11 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
 
         wait_dma(k_cur, slot)
 
-        do_sample = coarse_occupied(k_cur)
+        s_cur = (k_cur.astype(f) + 0.5) * ds
+        pixel_work = cov & (s_cur >= s_lo) & (s_cur <= s_hi)
+        if ert:
+            pixel_work = pixel_work & (alpha <= 0.99)
+        do_sample = jnp.any(pixel_work) & coarse_occupied(k_cur)
 
         def sample_block(carry):
             lum, alpha, firsts, nsamp = carry
@@ -275,29 +279,49 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             il1_lo = jnp.minimum(il1, 127)
             il1_hi = jnp.maximum(il1 - 128, 0)
 
-            acc = zero
-            for r in range(R):
-                vg = (v0a + r).astype(f)
-                w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
-                row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
-                row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
-                row = row0 * (1.0 - fp) + row1 * fp          # (256,)
-                lo = jnp.broadcast_to(row[0:128].reshape(1, 128),
-                                      (TILE_H, 128))
-                hi = jnp.broadcast_to(row[128:256].reshape(1, 128),
-                                      (TILE_H, 128))
-                g0 = jnp.where(
-                    lo_mask0,
-                    jnp.take_along_axis(lo, il0_lo, axis=1),
-                    jnp.take_along_axis(hi, il0_hi, axis=1),
-                )
-                g1 = jnp.where(
-                    lo_mask1,
-                    jnp.take_along_axis(lo, il1_lo, axis=1),
-                    jnp.take_along_axis(hi, il1_hi, axis=1),
-                )
-                col = g0 + (g1 - g0) * fu
-                acc = acc + w_hat * col
+            # Tent support: only rows in [floor(min qv), ceil(max qv)+1]
+            # contribute; whole 8-row blocks outside are skipped.
+            qv_min_t = jnp.min(jnp.where(cov, qv, f(1e30)))
+            qv_max_t = jnp.max(jnp.where(cov, qv, f(-1e30)))
+            r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - 1 - v0a
+            r_hi = jnp.ceil(qv_max_t).astype(jnp.int32) + 1 - v0a
+
+            acc_ref = jnp.zeros((TILE_H, TILE_W), f)
+
+            def row_block(b, acc):
+                def do(acc):
+                    a = acc
+                    for rr in range(8):
+                        r = b * 8 + rr
+                        vg = (v0a + r).astype(f)
+                        w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
+                        row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
+                        row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
+                        row = row0 * (1.0 - fp) + row1 * fp      # (256,)
+                        lo = jnp.broadcast_to(row[0:128].reshape(1, 128),
+                                              (TILE_H, 128))
+                        hi = jnp.broadcast_to(row[128:256].reshape(1, 128),
+                                              (TILE_H, 128))
+                        g0 = jnp.where(
+                            lo_mask0,
+                            jnp.take_along_axis(lo, il0_lo, axis=1),
+                            jnp.take_along_axis(hi, il0_hi, axis=1),
+                        )
+                        g1 = jnp.where(
+                            lo_mask1,
+                            jnp.take_along_axis(lo, il1_lo, axis=1),
+                            jnp.take_along_axis(hi, il1_hi, axis=1),
+                        )
+                        col = g0 + (g1 - g0) * fu
+                        a = a + w_hat * col
+                    return a
+
+                overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
+                return jax.lax.cond(overlap, do, lambda a: a, acc)
+
+            acc = acc_ref
+            for b in range(R // 8):
+                acc = row_block(b, acc)
 
             intensity = acc * f(1.0 / 255.0)
             a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)

@@ -75,21 +75,38 @@ def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
             )
         return g
 
+    gy_min_t = jnp.min(jnp.where(inside, gyc, f(1e30)))
+    gy_max_t = jnp.max(jnp.where(inside, gyc, f(-1e30)))
+    r_lo = jnp.floor(gy_min_t).astype(jnp.int32) - 1 - v0a
+    r_hi = jnp.ceil(gy_max_t).astype(jnp.int32) + 1 - v0a
+
     outs = []
     for c in range(C):
+        def row_block(b, acc, c=c):
+            def do(acc):
+                a = acc
+                for rr in range(8):
+                    r = b * 8 + rr
+                    vg = (v0a + r).astype(f)
+                    w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - vg))
+                    row = scratch[c, r, :]
+                    halves = tuple(
+                        jnp.broadcast_to(
+                            row[128 * h:128 * (h + 1)].reshape(1, 128),
+                            (TILE_H, 128))
+                        for h in range(N_HALVES)
+                    )
+                    g0 = u_tap(halves, il0)
+                    g1 = u_tap(halves, il1)
+                    a = a + w_hat * (g0 + (g1 - g0) * fu)
+                return a
+
+            overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
+            return jax.lax.cond(overlap, do, lambda a: a, acc)
+
         acc = jnp.zeros((TILE_H, TILE_W), f)
-        for r in range(R):
-            vg = (v0a + r).astype(f)
-            w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - vg))
-            row = scratch[c, r, :]
-            halves = tuple(
-                jnp.broadcast_to(row[128 * h:128 * (h + 1)].reshape(1, 128),
-                                 (TILE_H, 128))
-                for h in range(N_HALVES)
-            )
-            g0 = u_tap(halves, il0)
-            g1 = u_tap(halves, il1)
-            acc = acc + w_hat * (g0 + (g1 - g0) * fu)
+        for b in range(R // 8):
+            acc = row_block(b, acc)
         outs.append(acc)
 
     stacked = jnp.stack(outs)                     # (C, 8, 128)
