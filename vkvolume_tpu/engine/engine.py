@@ -277,10 +277,7 @@ class Engine:
                 and vol_t.shape[2] >= 256 and vol_t.shape[1] >= 16
             )
             if pallas_ok:
-                stats = {
-                    k: float(v)
-                    for k, v in sp._plan_stats_jit(rays, p).items()
-                }
+                stats = sp.stats_to_dict(sp._plan_stats_jit(rays, p))
                 plan = sp.plan_from_stats(stats, uniforms, p, vol_t.shape,
                                           height, width)
                 if plan is not None:

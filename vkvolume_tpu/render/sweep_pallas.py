@@ -709,23 +709,33 @@ def _plan_stats_jit(rays: RaySetup, p_axis: int):
 
     du = jnp.abs(jnp.diff(wu, axis=1))
     dv = jnp.abs(jnp.diff(wv, axis=0))
-    return dict(
-        any_sel=jnp.any(sel),
-        wu_lo=jnp.nanmin(wu), wu_hi=jnp.nanmax(wu),
-        wv_lo=jnp.nanmin(wv), wv_hi=jnp.nanmax(wv),
-        du_q=jnp.nanmedian(jnp.where(du > 0, du, nan)),
-        dv_q=jnp.nanmedian(jnp.where(dv > 0, dv, nan)),
-        span_wu=tile_span_max(wu),
-        span_wv=tile_span_max(wv),
-        sgn=jnp.nanmedian(jnp.where(sel, d_p, nan)),
-    )
+    # One stacked vector → a single device-to-host transfer per frame.
+    return jnp.stack([
+        jnp.any(sel).astype(jnp.float32),
+        jnp.nanmin(wu), jnp.nanmax(wu),
+        jnp.nanmin(wv), jnp.nanmax(wv),
+        jnp.nanmedian(jnp.where(du > 0, du, nan)),
+        jnp.nanmedian(jnp.where(dv > 0, dv, nan)),
+        tile_span_max(wu),
+        tile_span_max(wv),
+        jnp.nanmedian(jnp.where(sel, d_p, nan)),
+    ])
+
+
+_STAT_KEYS = ("any_sel", "wu_lo", "wu_hi", "wv_lo", "wv_hi", "du_q", "dv_q",
+              "span_wu", "span_wv", "sgn")
+
+
+def stats_to_dict(stats_vec) -> dict:
+    vals = np.asarray(stats_vec, np.float64)
+    return dict(zip(_STAT_KEYS, vals.tolist()))
 
 
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
                max_oversample: float = 2.5):
     """Host-side frame plan from per-pixel rays (see plan_from_stats)."""
-    st = {k: float(v) for k, v in _plan_stats_jit(rays, p_axis).items()}
+    st = stats_to_dict(_plan_stats_jit(rays, p_axis))
     return plan_from_stats(st, uniforms, p_axis, vol_shape_t, height, width,
                            max_oversample)
 
