@@ -277,9 +277,21 @@ class Engine:
                 and vol_t.shape[2] >= 256 and vol_t.shape[1] >= 16
             )
             if pallas_ok:
-                stats = sp.stats_to_dict(sp._plan_stats_jit(rays, p))
-                plan = sp.plan_from_stats(stats, uniforms, p, vol_t.shape,
-                                          height, width)
+                # Frame-plan cache: static for a static camera (the plan
+                # depends only on the uniforms, image size and volume).
+                plan_key = (
+                    np.asarray(uniforms.view).tobytes(),
+                    np.asarray(uniforms.proj).tobytes(),
+                    np.asarray(uniforms.model).tobytes(),
+                    float(np.asarray(uniforms.plane)[3]),
+                    height, width, p, vol_t.shape,
+                )
+                plan = cache.get(("plan", plan_key))
+                if plan is None:
+                    stats = sp.stats_to_dict(sp._plan_stats_jit(rays, p))
+                    plan = sp.plan_from_stats(stats, uniforms, p, vol_t.shape,
+                                              height, width)
+                    cache[("plan", plan_key)] = plan
                 if plan is not None:
                     import jax.numpy as _jnp
 

@@ -710,15 +710,18 @@ def _plan_stats_jit(rays: RaySetup, p_axis: int):
     du = jnp.abs(jnp.diff(wu, axis=1))
     dv = jnp.abs(jnp.diff(wv, axis=0))
     # One stacked vector → a single device-to-host transfer per frame.
+    # Means, not medians: a median is a full device sort (hundreds of ms on
+    # 2M elements); the mean footprint is just as good a grid-sizing
+    # estimate given the oversampling clamp.
     return jnp.stack([
         jnp.any(sel).astype(jnp.float32),
         jnp.nanmin(wu), jnp.nanmax(wu),
         jnp.nanmin(wv), jnp.nanmax(wv),
-        jnp.nanmedian(jnp.where(du > 0, du, nan)),
-        jnp.nanmedian(jnp.where(dv > 0, dv, nan)),
+        jnp.nanmean(jnp.where(du > 0, du, nan)),
+        jnp.nanmean(jnp.where(dv > 0, dv, nan)),
         tile_span_max(wu),
         tile_span_max(wv),
-        jnp.nanmedian(jnp.where(sel, d_p, nan)),
+        jnp.nanmean(jnp.where(sel, d_p, nan)),
     ])
 
 
