@@ -710,18 +710,22 @@ def _plan_stats_jit(rays: RaySetup, p_axis: int):
     du = jnp.abs(jnp.diff(wu, axis=1))
     dv = jnp.abs(jnp.diff(wv, axis=0))
     # One stacked vector → a single device-to-host transfer per frame.
-    # Means, not medians: a median is a full device sort (hundreds of ms on
-    # 2M elements); the mean footprint is just as good a grid-sizing
-    # estimate given the oversampling clamp.
+    # Medians on a strided subsample: a full-resolution median is a full
+    # device sort (hundreds of ms at 2M elements); ~32K keeps the same
+    # robust estimate at negligible cost.
+    du_s = du[::8, ::8]
+    dv_s = dv[::8, ::8]
+    dp_s = d_p[::8, ::8]
+    sel_s = sel[::8, ::8]
     return jnp.stack([
         jnp.any(sel).astype(jnp.float32),
         jnp.nanmin(wu), jnp.nanmax(wu),
         jnp.nanmin(wv), jnp.nanmax(wv),
-        jnp.nanmean(jnp.where(du > 0, du, nan)),
-        jnp.nanmean(jnp.where(dv > 0, dv, nan)),
+        jnp.nanmedian(jnp.where(du_s > 0, du_s, nan)),
+        jnp.nanmedian(jnp.where(dv_s > 0, dv_s, nan)),
         tile_span_max(wu),
         tile_span_max(wv),
-        jnp.nanmean(jnp.where(sel, d_p, nan)),
+        jnp.nanmedian(jnp.where(sel_s, dp_s, nan)),
     ])
 
 
