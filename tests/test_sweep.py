@@ -1,6 +1,7 @@
 """Plane-sweep renderer tests: XLA sweep vs the exact marcher, and the
 Pallas kernel (interpret mode) vs the XLA sweep."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -108,7 +109,15 @@ def test_pallas_unsupported_raises():
 
     vol, tf, u, rays, occ, pvm = _pallas_setup()
     p = sweep_mod.principal_axis(rays)
-    # Volume too narrow for the 256-wide rect.
-    tiny = jnp.zeros((8, 32, 32), jnp.uint8)
+    # Degenerate volume (single plane along the principal axis).
+    tiny = jnp.zeros((1, 2, 2), jnp.uint8)
     with pytest.raises(PallasUnsupported):
         sweep_pallas(tiny, None, tf, rays, u, pvm, p_axis=p, interpret=True)
+    # Non-tile-aligned image raises in render_frame.
+    from vkvolume_tpu.render.sweep_pallas import render_frame
+
+    import dataclasses as _dc
+    bad_rays = jax.tree.map(lambda x: x[:30], rays)
+    with pytest.raises(PallasUnsupported):
+        render_frame(jnp.zeros((8, 32, 256), jnp.uint8), None, tf, bad_rays,
+                     u, pvm, p_axis=p, interpret=True)

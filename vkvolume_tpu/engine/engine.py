@@ -274,7 +274,7 @@ class Engine:
                 not tf.use_gradient
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
                 and height % 8 == 0 and width % 128 == 0
-                and vol_t.shape[2] >= 256 and vol_t.shape[1] >= 16
+                and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
             )
             if pallas_ok:
                 # Frame-plan cache: static for a static camera (the plan

@@ -26,8 +26,8 @@ slab sweep), hand-scheduled for the TPU memory hierarchy:
   when the slab plane passes the tile's furthest exit.
 
 Constraints (checked by the wrapper; violations fall back to the XLA
-sweep): H % 8 == 0, W % 128 == 0, source-plane width >= 256 (padded),
-per-tile source footprint <= 126 texels wide and <= R-9 rows tall (true
+sweep): H % 8 == 0, W % 128 == 0, per-tile source footprint <= 252
+texels wide and <= R-10 rows tall (true
 whenever a volume texel covers >= ~1 pixel, e.g. any fit-to-viewport or
 zoomed view).
 """
@@ -50,7 +50,7 @@ from .sweep import _SLICE_AXES, principal_axis, transpose_for_axis
 
 TILE_H = 8
 TILE_W = 128
-RECT_W = 256
+RECT_W = 384
 
 
 def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
@@ -272,12 +272,6 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
             il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
             il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
-            lo_mask0 = il0 < 128
-            lo_mask1 = il1 < 128
-            il0_lo = jnp.minimum(il0, 127)
-            il0_hi = jnp.maximum(il0 - 128, 0)
-            il1_lo = jnp.minimum(il1, 127)
-            il1_hi = jnp.maximum(il1 - 128, 0)
 
             # Tent support: only rows in [floor(min qv), ceil(max qv)+1]
             # contribute; whole 8-row blocks outside are skipped.
@@ -297,21 +291,29 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
                         w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
                         row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
                         row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
-                        row = row0 * (1.0 - fp) + row1 * fp      # (256,)
-                        lo = jnp.broadcast_to(row[0:128].reshape(1, 128),
-                                              (TILE_H, 128))
-                        hi = jnp.broadcast_to(row[128:256].reshape(1, 128),
-                                              (TILE_H, 128))
-                        g0 = jnp.where(
-                            lo_mask0,
-                            jnp.take_along_axis(lo, il0_lo, axis=1),
-                            jnp.take_along_axis(hi, il0_hi, axis=1),
+                        row = row0 * (1.0 - fp) + row1 * fp      # (RECT_W,)
+                        thirds = tuple(
+                            jnp.broadcast_to(
+                                row[128 * h:128 * (h + 1)].reshape(1, 128),
+                                (TILE_H, 128))
+                            for h in range(RECT_W // 128)
                         )
-                        g1 = jnp.where(
-                            lo_mask1,
-                            jnp.take_along_axis(lo, il1_lo, axis=1),
-                            jnp.take_along_axis(hi, il1_hi, axis=1),
-                        )
+
+                        def u_tap(il):
+                            g = jnp.take_along_axis(
+                                thirds[0], jnp.minimum(il, 127), axis=1)
+                            for h in range(1, RECT_W // 128):
+                                g = jnp.where(
+                                    il < 128 * h, g,
+                                    jnp.take_along_axis(
+                                        thirds[h],
+                                        jnp.clip(il - 128 * h, 0, 127),
+                                        axis=1),
+                                )
+                            return g
+
+                        g0 = u_tap(il0)
+                        g1 = u_tap(il1)
                         col = g0 + (g1 - g0) * fu
                         a = a + w_hat * col
                     return a
@@ -588,7 +590,7 @@ def supports(rays: RaySetup, uniforms: FrameUniforms, vol_t_shape,
     Np, Sv, Su = vol_t_shape
     if height % TILE_H or width % TILE_W:
         return False
-    if Su < RECT_W or Sv < R:
+    if Np < 2 or Sv < 2 or Su < 2:
         return False
 
     v_ax, u_ax = _SLICE_AXES[p_axis]
@@ -615,7 +617,7 @@ def supports(rays: RaySetup, uniforms: FrameUniforms, vol_t_shape,
     # 8-aligned base up to 7 rows; the tent filter needs one extra row.
     span_u = tile_span(wu, TILE_H, TILE_W) * t_max * Su
     span_v = tile_span(wv, TILE_H, TILE_W) * t_max * Sv
-    return bool(span_u <= 124 and span_v <= R - 10)
+    return bool(span_u <= RECT_W - 132 and span_v <= R - 10)
 
 
 def sweep_pallas(
@@ -765,7 +767,7 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
 
     Wi = max((wu_hi - wu_lo) / max(st["du_q"], 1e-9),
-             (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0, 128.0)
+             (wu_hi - wu_lo) * Su * t_max * TILE_W / 248.0, 128.0)
     Hi = max((wv_hi - wv_lo) / max(st["dv_q"], 1e-9),
              (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0, 8.0)
     if not (np.isfinite(Wi) and np.isfinite(Hi)):
