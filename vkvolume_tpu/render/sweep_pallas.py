@@ -50,7 +50,7 @@ from .sweep import _SLICE_AXES, principal_axis, transpose_for_axis
 
 TILE_H = 8
 TILE_W = 128
-RECT_W = 384
+RECT_W = 256
 
 
 def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
@@ -767,7 +767,7 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
 
     Wi = max((wu_hi - wu_lo) / max(st["du_q"], 1e-9),
-             (wu_hi - wu_lo) * Su * t_max * TILE_W / 248.0, 128.0)
+             (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0, 128.0)
     Hi = max((wv_hi - wv_lo) / max(st["dv_q"], 1e-9),
              (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0, 8.0)
     if not (np.isfinite(Wi) and np.isfinite(Hi)):
