@@ -117,3 +117,36 @@ def test_render_image_composites_over_background():
     assert img.shape == (32, 32, 3) and img.dtype == np.uint8
     # uncovered pixels show the red background
     assert (img[0, 0] == [255, 0, 0]).all()
+
+
+def test_accel_cache_roundtrip(tmp_path):
+    """Checkpoint/resume of acceleration structures (SURVEY.md §5)."""
+    from vkvolume_tpu.engine import Engine, RenderOptions, from_array
+
+    n = 24
+    vol = sphere_shell_volume(n)
+    opts = VolumeOptions(intensity_min=0.1, gradient_min=0.0, gradient_max=0.0)
+
+    eng1 = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                  renderer="marcher", accel_cache_dir=str(tmp_path))
+    v1 = from_array(vol, opts, block_size=4)
+    eng1.add_volume(v1)
+    maps1 = np.asarray(v1.dist_maps)
+    grad1 = np.asarray(v1.gradient)
+
+    eng2 = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                  renderer="marcher", accel_cache_dir=str(tmp_path))
+    v2 = from_array(vol, opts, block_size=4)
+    stats = eng2.add_volume(v2)
+    # restored, not recomputed
+    assert stats.map_update_ms is None
+    np.testing.assert_array_equal(np.asarray(v2.dist_maps), maps1)
+    np.testing.assert_array_equal(np.asarray(v2.gradient), grad1)
+
+    # different TF → different key → rebuild happens
+    opts3 = VolumeOptions(intensity_min=0.5, gradient_min=0.0, gradient_max=0.0)
+    eng3 = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                  renderer="marcher", accel_cache_dir=str(tmp_path))
+    v3 = from_array(vol, opts3, block_size=4)
+    stats3 = eng3.add_volume(v3)
+    assert stats3.map_update_ms is not None

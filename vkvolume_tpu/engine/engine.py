@@ -41,7 +41,8 @@ class UpdateStats:
 
 class Engine:
     def __init__(self, options: RenderOptions | None = None,
-                 benchmark_mode: bool = False, renderer: str = "marcher"):
+                 benchmark_mode: bool = False, renderer: str = "marcher",
+                 accel_cache_dir: str | None = None):
         """``renderer``: "marcher" = the reference-exact lock-step ray march
         (the parity oracle); "sweep" = the TPU-native plane-sweep compositor
         (render/sweep.py); "pallas" = the hand-scheduled Pallas sweep kernel
@@ -57,14 +58,23 @@ class Engine:
             self.options.early_ray_termination = False
             self.options.test = Test.NUM_TEXTURE_SAMPLES
         self.volumes: list[Volume] = []
+        self.accel_cache_dir = accel_cache_dir
 
     # ---- setup ----------------------------------------------------------
 
     def add_volume(self, volume: Volume) -> UpdateStats:
         """Load path of prepare(): gradient at load + first TF update
-        (src/volume_render.cpp:186-242)."""
+        (src/volume_render.cpp:186-242). With ``accel_cache_dir`` set,
+        checkpointed maps are restored instead of recomputed (SURVEY.md §5
+        checkpoint/resume)."""
         self.volumes.append(volume)
         stats = UpdateStats()
+        if self.accel_cache_dir is not None:
+            from . import accel_cache
+
+            if accel_cache.load(self.accel_cache_dir, volume,
+                                self.options.skipping_type):
+                return stats
         if volume.options.use_precomputed_gradient:
             t0 = time.perf_counter()
             volume.gradient = gradient_map(
@@ -76,6 +86,11 @@ class Engine:
         stats.occupied_voxel_percent = tf_stats.occupied_voxel_percent
         stats.count_ms = tf_stats.count_ms
         stats.map_update_ms = tf_stats.map_update_ms
+        if self.accel_cache_dir is not None:
+            from . import accel_cache
+
+            accel_cache.save(self.accel_cache_dir, volume,
+                             self.options.skipping_type)
         return stats
 
     def _tf(self, volume: Volume):
