@@ -121,3 +121,29 @@ def test_pallas_unsupported_raises():
     with pytest.raises(PallasUnsupported):
         render_frame(jnp.zeros((8, 32, 256), jnp.uint8), None, tf, bad_rays,
                      u, pvm, p_axis=p, interpret=True)
+
+
+def test_pallas_gradient_tf_matches_xla_sweep():
+    """Gradient-modulated TF through the Pallas kernel (interpret mode)."""
+    from vkvolume_tpu.accel import gradient_map
+    from vkvolume_tpu.render.sweep_pallas import sweep_pallas
+
+    vol, _, u, rays, _, pvm = _pallas_setup(eye=(0.3, 0.2, 8.0))
+    tf = tf_params(intensity_min=0.2, gradient_min=0.05, gradient_max=0.4)
+    p = sweep_mod.principal_axis(rays)
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    grad = gradient_map(jnp.asarray(vol), 1.0, use_gradient=True)
+    grad_t = sweep_mod.transpose_for_axis(grad, p)
+    D, Hs, Ws = vol.shape
+    occ = occupancy_map(jnp.asarray(vol), grad, tf,
+                        (-(-D // 4), -(-Hs // 4), -(-Ws // 4)))
+    occ_t = sweep_mod.transpose_for_axis(occ, p)
+
+    ref = sweep_mod.sweep(vol_t, grad_t, occ_t, tf, rays, u, pvm, p_axis=p,
+                          skipping=True, early_ray_termination=True)
+    out = sweep_pallas(vol_t, occ_t, tf, rays, u, pvm, grad_t, p_axis=p,
+                       ert=True, interpret=True)
+    ref_c = np.asarray(ref.color)
+    got_c = np.asarray(out.color)
+    assert ref_c[..., 3].max() > 0.05          # non-trivial content
+    assert np.abs(got_c - ref_c).max() < 1e-4

@@ -286,7 +286,7 @@ class Engine:
             from ..options import Test as _T
 
             pallas_ok = (
-                not tf.use_gradient
+                (not tf.use_gradient or grad_t is not None)
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
                 and height % 8 == 0 and width % 128 == 0
                 and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
@@ -325,6 +325,7 @@ class Engine:
                     )
                     out = sp._frame_jit(
                         vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
+                        grad_t if tf.use_gradient else None,
                         p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
                         R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
                         ert=self.options.early_ray_termination,

@@ -57,9 +57,10 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             wu_ref, wv_ref, slo_ref, shi_ref, kap_ref, cov_ref,  # VMEM tiles
             coarse_ref,                             # (mp, CVp, 128) u8 VMEM
             vol_ref,                                # ANY (manual DMA)
+            grad_ref,                               # ANY (zeros if unused)
             lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
-            scratch, sems,                          # (2,2,R,256) u8, DMA (2,)
-            *, R, ert, count_samples):
+            scratch, sems, gscratch, gsems,         # rect buffers + DMA sems
+            *, R, ert, count_samples, use_gradient):
     f = jnp.float32
     n_slabs = meta_ref[0]
     Np = meta_ref[1]
@@ -81,6 +82,8 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     vaf = fpar_ref[6]
     inv_cvox_v = fpar_ref[7]     # 1 / (voxels per coarse cell along v)
     inv_cvox_u = fpar_ref[8]
+    gmin = fpar_ref[9]
+    ginv = fpar_ref[10]
     CVp = coarse_ref.shape[1]
     mp_c = coarse_ref.shape[0]
 
@@ -207,12 +210,27 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             sems.at[slot],
         )
 
+    def _gdma(k, slot):
+        v0a, u0a = rect_uv(k)
+        k0 = k0_of(k)
+        v0a = pl.multiple_of(v0a, 8)
+        u0a = pl.multiple_of(u0a, 128)
+        return pltpu.make_async_copy(
+            grad_ref.at[pl.ds(k0, 2), pl.ds(v0a, R), pl.ds(u0a, RECT_W)],
+            gscratch.at[slot],
+            gsems.at[slot],
+        )
+
     def start_dma(k, slot):
         _dma(k, slot).start()
+        if use_gradient:
+            _gdma(k, slot).start()
 
     def wait_dma(k, slot):
-        # Reconstruct the same descriptor that was issued into this slot.
+        # Reconstruct the same descriptors that were issued into this slot.
         _dma(k, slot).wait()
+        if use_gradient:
+            _gdma(k, slot).wait()
 
     zero = jnp.zeros((TILE_H, TILE_W), f)
     init_lum = zero
@@ -280,53 +298,57 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - 1 - v0a
             r_hi = jnp.ceil(qv_max_t).astype(jnp.int32) + 1 - v0a
 
-            acc_ref = jnp.zeros((TILE_H, TILE_W), f)
+            def sample_rows(buf):
+                def row_block(b, acc):
+                    def do(acc):
+                        a = acc
+                        for rr in range(8):
+                            r = b * 8 + rr
+                            vg = (v0a + r).astype(f)
+                            w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
+                            row0 = buf[slot, 0, r, :].astype(jnp.int32).astype(f)
+                            row1 = buf[slot, 1, r, :].astype(jnp.int32).astype(f)
+                            row = row0 * (1.0 - fp) + row1 * fp  # (RECT_W,)
+                            thirds = tuple(
+                                jnp.broadcast_to(
+                                    row[128 * h:128 * (h + 1)].reshape(1, 128),
+                                    (TILE_H, 128))
+                                for h in range(RECT_W // 128)
+                            )
 
-            def row_block(b, acc):
-                def do(acc):
-                    a = acc
-                    for rr in range(8):
-                        r = b * 8 + rr
-                        vg = (v0a + r).astype(f)
-                        w_hat = jnp.maximum(0.0, 1.0 - jnp.abs(qv - vg))
-                        row0 = scratch[slot, 0, r, :].astype(jnp.int32).astype(f)
-                        row1 = scratch[slot, 1, r, :].astype(jnp.int32).astype(f)
-                        row = row0 * (1.0 - fp) + row1 * fp      # (RECT_W,)
-                        thirds = tuple(
-                            jnp.broadcast_to(
-                                row[128 * h:128 * (h + 1)].reshape(1, 128),
-                                (TILE_H, 128))
-                            for h in range(RECT_W // 128)
-                        )
+                            def u_tap(il):
+                                g = jnp.take_along_axis(
+                                    thirds[0], jnp.minimum(il, 127), axis=1)
+                                for h in range(1, RECT_W // 128):
+                                    g = jnp.where(
+                                        il < 128 * h, g,
+                                        jnp.take_along_axis(
+                                            thirds[h],
+                                            jnp.clip(il - 128 * h, 0, 127),
+                                            axis=1),
+                                    )
+                                return g
 
-                        def u_tap(il):
-                            g = jnp.take_along_axis(
-                                thirds[0], jnp.minimum(il, 127), axis=1)
-                            for h in range(1, RECT_W // 128):
-                                g = jnp.where(
-                                    il < 128 * h, g,
-                                    jnp.take_along_axis(
-                                        thirds[h],
-                                        jnp.clip(il - 128 * h, 0, 127),
-                                        axis=1),
-                                )
-                            return g
+                            g0 = u_tap(il0)
+                            g1 = u_tap(il1)
+                            col = g0 + (g1 - g0) * fu
+                            a = a + w_hat * col
+                        return a
 
-                        g0 = u_tap(il0)
-                        g1 = u_tap(il1)
-                        col = g0 + (g1 - g0) * fu
-                        a = a + w_hat * col
-                    return a
+                    overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
+                    return jax.lax.cond(overlap, do, lambda a: a, acc)
 
-                overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
-                return jax.lax.cond(overlap, do, lambda a: a, acc)
+                acc = jnp.zeros((TILE_H, TILE_W), f)
+                for b in range(R // 8):
+                    acc = row_block(b, acc)
+                return acc
 
-            acc = acc_ref
-            for b in range(R // 8):
-                acc = row_block(b, acc)
-
-            intensity = acc * f(1.0 / 255.0)
+            intensity = sample_rows(scratch) * f(1.0 / 255.0)
             a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
+            if use_gradient:
+                gradient = sample_rows(gscratch) * f(1.0 / 255.0)
+                a_g = jnp.clip((gradient - gmin) * ginv, 0.0, 1.0)
+                a_tf = a_tf * a_g
 
             in_rng = cov & (s >= s_lo) & (s <= s_hi)
             if ert:
@@ -390,7 +412,7 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
 )
 def _sweep_pallas_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
-    proj_view_model,
+    proj_view_model, grad_t=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, interpret=False,
 ):
     f = jnp.float32
@@ -400,8 +422,15 @@ def _sweep_pallas_jit(
     # Pad the slice axes so every clamped, aligned DMA base stays aligned.
     Sv_pad = -(-max(Sv, R) // 8) * 8
     Su_pad = -(-max(Su, RECT_W) // 128) * 128
+    use_gradient = grad_t is not None and tf.use_gradient
     if (Sv_pad, Su_pad) != (Sv, Su):
         vol_t = jnp.pad(vol_t, ((0, 0), (0, Sv_pad - Sv), (0, Su_pad - Su)))
+        if use_gradient:
+            grad_t = jnp.pad(
+                grad_t, ((0, 0), (0, Sv_pad - Sv), (0, Su_pad - Su))
+            )
+    if not use_gradient:
+        grad_t = jnp.zeros((Np, 8, 128), jnp.uint8)  # placeholder, never read
 
     d = rays.ray_dir
     d_p = d[..., p_axis]
@@ -493,6 +522,7 @@ def _sweep_pallas_jit(
         tf.intensity_min, tf.intensity_range_inv, tf.voxel_alpha_factor,
         jnp.float32(1.0 / (factor_v * bp_v)),
         jnp.float32(1.0 / (factor_u * bp_u)),
+        tf.gradient_min, tf.gradient_range_inv,
     ])
 
     grid = (H // TILE_H, W // TILE_W)
@@ -500,7 +530,8 @@ def _sweep_pallas_jit(
 
     kern = functools.partial(_kernel, R=R, ert=ert,
                              count_samples=count_samples or
-                             test == Test.NUM_TEXTURE_SAMPLES)
+                             test == Test.NUM_TEXTURE_SAMPLES,
+                             use_gradient=use_gradient)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -514,6 +545,7 @@ def _sweep_pallas_jit(
             pl.BlockSpec((TILE_H, TILE_W), tile_map),   # cov
             pl.BlockSpec(memory_space=pltpu.VMEM),      # coarse occupancy
             pl.BlockSpec(memory_space=pl.ANY),          # volume
+            pl.BlockSpec(memory_space=pl.ANY),          # gradient (or dummy)
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), tile_map),
@@ -523,6 +555,9 @@ def _sweep_pallas_jit(
         ],
         scratch_shapes=[
             pltpu.VMEM((4, 2, R, RECT_W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((4, 2, R, RECT_W) if use_gradient else (1, 1, 8, 128),
+                       jnp.uint8),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -543,6 +578,7 @@ def _sweep_pallas_jit(
         kappa.astype(f), covered.astype(f),
         coarse_u8,
         vol_t,
+        grad_t,
     )
 
     color = jnp.stack([lum, lum, lum, alpha], -1)
@@ -627,6 +663,7 @@ def sweep_pallas(
     rays: RaySetup,
     uniforms: FrameUniforms,
     proj_view_model,
+    grad_t=None,
     *,
     p_axis: int,
     ert: bool = True,
@@ -657,7 +694,7 @@ def sweep_pallas(
         # No skipping: a full-volume bbox per slab.
         occupancy_t = jnp.zeros((1, 1, 1), jnp.uint8)  # "occupied everywhere"
     return _sweep_pallas_jit(
-        vol_t, occupancy_t, tf, rays, uniforms, proj_view_model,
+        vol_t, occupancy_t, tf, rays, uniforms, proj_view_model, grad_t,
         p_axis=p_axis, R=R, ert=ert, test=test, count_samples=count_samples,
         n_slabs=n_slabs, interpret=interpret,
     )
@@ -816,7 +853,7 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
 )
 def _frame_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup,
-    uniforms: FrameUniforms, proj_view_model, grid_params,
+    uniforms: FrameUniforms, proj_view_model, grid_params, grad_t=None,
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
     interpret=False,
 ):
@@ -844,7 +881,7 @@ def _frame_jit(
     rays_g = rays_from_dirs(uniforms, dirs)
 
     grid_out = _sweep_pallas_jit(
-        vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model,
+        vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model, grad_t,
         p_axis=p_axis, R=R_sweep, ert=ert, test=test,
         count_samples=test == Test.NUM_TEXTURE_SAMPLES,
         n_slabs=n_slabs, interpret=interpret,
@@ -911,6 +948,7 @@ def render_frame(
     rays: RaySetup,
     uniforms: FrameUniforms,
     proj_view_model,
+    grad_t=None,
     *,
     p_axis: int,
     ert: bool = True,
@@ -933,6 +971,7 @@ def render_frame(
     )
     return _frame_jit(
         vol_t, occupancy_t, tf, rays, uniforms, proj_view_model, grid_params,
+        grad_t,
         p_axis=p_axis, Hi=plan["Hi"], Wi=plan["Wi"],
         R_sweep=plan["R_sweep"], R_warp=plan["R_warp"], ert=ert, test=test,
         n_slabs=n_slabs, sgn_p=plan["sgn_p"], interpret=interpret,
