@@ -22,8 +22,9 @@ from util import sphere_shell_volume
 def _engine(renderer="marcher", skipping=SkippingType.DISTANCE, n=40,
             benchmark=False, **vol_kw):
     vol = sphere_shell_volume(n)
-    opts = VolumeOptions(intensity_min=vol_kw.pop("imin", 0.1),
-                         gradient_min=0.0, gradient_max=0.0, **vol_kw)
+    vol_kw.setdefault("gradient_min", 0.0)
+    vol_kw.setdefault("gradient_max", 0.0)
+    opts = VolumeOptions(intensity_min=vol_kw.pop("imin", 0.1), **vol_kw)
     eng = Engine(RenderOptions(skipping_type=skipping), renderer=renderer,
                  benchmark_mode=benchmark)
     v = from_array(vol, opts, block_size=4)
@@ -109,6 +110,83 @@ def test_multi_volume_blend():
     assert (np.asarray(out.color)[..., 3] > 0).sum() >= (
         np.asarray(out_single.color)[..., 3] > 0
     ).sum()
+
+
+def test_multi_volume_blend_order_overlapping():
+    """Overlapping volumes where draw order matters: the engine must apply
+    the reference blend state (src/volume_render_subpass.cpp:177-186 — src
+    factor ONE, dst ONE_MINUS_SRC_ALPHA), i.e. each later draw composites
+    OVER the accumulated target: new = src + (1 - src.a) * dst."""
+    n = 32
+    vol = sphere_shell_volume(n)
+    opts_a = VolumeOptions(intensity_min=0.1, gradient_min=0.0, gradient_max=0.0)
+    opts_b = VolumeOptions(intensity_min=0.4, gradient_min=0.0, gradient_max=0.0)
+
+    def mk(opts, dx, name):
+        v = from_array(vol, opts, block_size=4, name=name)
+        v.set_scale((100.0 / n,) * 3)
+        v.node_transform = math3d.translate((dx, 0, 0)) @ v.node_transform
+        return v
+
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="marcher")
+    eng.add_volume(mk(opts_a, -10, "a"))
+    eng.add_volume(mk(opts_b, 10, "b"))
+    out = eng.render(CAM, 48, 48)
+
+    def solo(opts, dx):
+        e = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                   renderer="marcher")
+        e.add_volume(mk(opts, dx, "s"))
+        return e.render(CAM, 48, 48)
+
+    r1 = solo(opts_a, -10)
+    r2 = solo(opts_b, 10)
+    c1, c2 = np.asarray(r1.color), np.asarray(r2.color)
+    expected = c2 + (1.0 - c2[..., 3:4]) * c1          # later draw in front
+    wrong = c1 + (1.0 - c1[..., 3:4]) * c2             # transposed order
+    got = np.asarray(out.color)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # order must actually matter on this scene, else the test is vacuous
+    assert np.abs(expected - wrong).max() > 0.01
+    # reverse-Z depth: nearer (greater) hit wins per pixel
+    np.testing.assert_allclose(
+        np.asarray(out.depth),
+        np.maximum(np.asarray(r1.depth), np.asarray(r2.depth)),
+        atol=1e-6,
+    )
+
+
+def test_mixed_sign_frame_falls_back_to_marcher():
+    """Camera inside the volume with a wide FOV: rays straddle the principal
+    axis, so the sweep's single global slab order cannot composite all rays
+    front-to-back — the engine must use the per-ray marcher for the frame."""
+    from vkvolume_tpu.camera import orbit_camera as _orbit
+
+    cam = _orbit(radius=10.0, azimuth_deg=45, elevation_deg=35,
+                 fovy_deg=120.0, aspect=1.0)
+    eng_s, _, _ = _engine("sweep")
+    out_s = eng_s.render(cam, 32, 32)
+    assert eng_s.last_renderer == "marcher"
+    eng_m, _, _ = _engine("marcher")
+    out_m = eng_m.render(cam, 32, 32)
+    np.testing.assert_allclose(np.asarray(out_s.color),
+                               np.asarray(out_m.color), atol=1e-6)
+
+
+def test_gradient_tf_slab_skip_within_tolerance():
+    """Gradient-modulated 2D TF: slab skipping is no longer exact (corners
+    may fail different gates while the interpolated sample passes both) —
+    the skip-vs-noskip error must stay within sampling tolerance."""
+    kw = dict(imin=0.1, gradient_min=0.05, gradient_max=0.6)
+    out_skip = _engine("sweep", skipping=SkippingType.DISTANCE, **kw)[0].render(
+        CAM, 32, 32)
+    out_none = _engine("sweep", skipping=SkippingType.NONE, **kw)[0].render(
+        CAM, 32, 32)
+    a = np.asarray(out_skip.color)
+    b = np.asarray(out_none.color)
+    assert (a[..., 3] > 0).any()          # scene not empty
+    assert np.abs(a - b).max() < 0.04     # bounded skip error
 
 
 def test_render_image_composites_over_background():

@@ -190,17 +190,35 @@ class Engine:
             if out is None:
                 out = result
             else:
-                # Target blend: dst = src + dst * (1 - src.a) per draw; volumes
-                # draw in sequence so a later volume blends over the earlier.
-                c = out.color + (1.0 - out.color[..., 3:4]) * result.color
-                out = dataclasses.replace(result, color=c)
+                # Target blend state (src/volume_render_subpass.cpp:177-186):
+                # src factor ONE, dst factor ONE_MINUS_SRC_ALPHA — each later
+                # draw composites OVER the accumulated target:
+                # new = src + (1 - src.a) * dst.
+                c = result.color + (1.0 - result.color[..., 3:4]) * out.color
+                # Reverse-Z depth (GREATER = nearer): keep the nearer hit.
+                d = jnp.maximum(result.depth, out.depth)
+                out = dataclasses.replace(
+                    result, color=c, depth=d,
+                    num_volume_samples=(result.num_volume_samples
+                                        + out.num_volume_samples),
+                    num_distance_samples=(result.num_distance_samples
+                                          + out.num_distance_samples),
+                    num_empty_samples=(result.num_empty_samples
+                                       + out.num_empty_samples),
+                )
         return out
 
     def render_volume(self, volume: Volume, camera, width: int, height: int,
                       depth_image=None) -> RenderOutput:
         if self.renderer in ("sweep", "pallas"):
-            return self._render_sweep(volume, camera, width, height,
-                                      depth_image=depth_image)
+            out = self._render_sweep(volume, camera, width, height,
+                                     depth_image=depth_image)
+            if out is not None:
+                return out
+            # Mixed principal-axis signs (camera inside the volume, wide
+            # FOV): one global slab order cannot composite every ray
+            # front-to-back — use the per-ray marcher for this frame.
+            self.last_renderer = "marcher"
         uniforms = make_uniforms(
             camera,
             volume.node_transform,
@@ -237,7 +255,9 @@ class Engine:
         )
 
     def _render_sweep(self, volume: Volume, camera, width: int, height: int,
-                      depth_image=None) -> RenderOutput:
+                      depth_image=None) -> RenderOutput | None:
+        """Sweep/Pallas frame, or None when the frame needs the marcher
+        (mixed principal-axis direction signs)."""
         from ..render import sweep as sweep_mod
 
         uniforms = make_uniforms(
@@ -255,6 +275,8 @@ class Engine:
             use_depth=self.options.depth_attachment and depth_image is not None,
         )
         p = sweep_mod.principal_axis(rays)
+        if sweep_mod.mixed_principal_signs(rays, p):
+            return None  # caller falls back to the per-ray marcher
         cache = getattr(volume, "_sweep_cache", None)
         if cache is None:
             cache = volume._sweep_cache = {}

@@ -18,10 +18,15 @@ axis of the view**, one slab per step, all pixels at once:
   correction law, applied to the slab geometry.
 * **Empty-space skipping** maps to slab skipping driven by the same
   occupancy map: a slab whose two source planes contain no voxel with
-  alpha > 0 contributes exactly zero to every ray (interpolation from
-  all-zero-alpha corners is zero-alpha), so skipping it is *exact* — the
-  sweep's analogue of distance-map leaping (distance_map.comp), with the
-  same TF-edit → occupancy rebuild dependency.
+  alpha > 0 contributes exactly zero to every ray, so skipping it is
+  *exact for intensity-only TFs* (interpolation from all-zero-alpha
+  corners is zero-alpha when alpha is a monotone map of one interpolated
+  field) — the sweep's analogue of distance-map leaping
+  (distance_map.comp), with the same TF-edit → occupancy rebuild
+  dependency. For gradient-modulated 2D TFs the guarantee weakens to
+  sampling tolerance: corners may each fail a *different* gate
+  (intensity vs gradient) while the interpolated sample passes both;
+  tests bound the skip-vs-noskip error for that case.
 * **Early ray termination** (volume_render.frag:293-299) becomes a chunked
   while-loop: march 16-slab chunks until every covered ray saturates.
 
@@ -62,6 +67,25 @@ def principal_axis(rays: RaySetup) -> int:
     else:
         mean = np.array([0.0, 0.0, 1.0])
     return int(np.argmax(np.abs(mean)))  # 0=x, 1=y, 2=z
+
+
+def mixed_principal_signs(rays: RaySetup, p: int) -> bool:
+    """True when valid rays disagree on the sign of d[p] (host-side).
+
+    The sweep iterates slabs in one global order; rays whose principal-axis
+    direction component has the opposite sign would be composited
+    back-to-front, which is wrong for over-blending and ERT. Such frames
+    (camera inside the volume with a wide FOV straddling the axis) must
+    fall back to the per-ray marcher.
+    """
+    import numpy as np
+
+    d = np.asarray(rays.ray_dir)[..., p]
+    valid = np.asarray(rays.valid) & (np.abs(d) > 1e-6)
+    if not valid.any():
+        return False
+    dv = d[valid]
+    return bool((dv > 0).any() and (dv < 0).any())
 
 
 def transpose_for_axis(volume_zyx: jax.Array, p: int) -> jax.Array:
@@ -133,7 +157,10 @@ def sweep(
     s_b = rays.exit[..., p_axis]
     s_lo = jnp.minimum(s_a, s_b)
     s_hi = jnp.maximum(s_a, s_b)
-    covered = rays.valid & (jnp.abs(d_p) > 1e-6)
+    # Rays whose d_p sign opposes the global slab order would composite
+    # back-to-front — exclude them (the engine detects mixed-sign frames
+    # host-side via mixed_principal_signs and falls back to the marcher).
+    covered = rays.valid & (jnp.abs(d_p) > 1e-6) & (jnp.sign(d_p) == sgn)
 
     # Sampling grid along s and the opacity-correction exponent.
     n_slabs = int(max(2, round(Np * oversample)))
