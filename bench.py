@@ -54,9 +54,10 @@ def main():
 
     ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
-    # Scale baseline if the volume was shrunk (keeps quick runs honest-ish).
+    reps = list(r.rep_ms)
+    spread = (max(reps) - min(reps)) / r.frame_ms if reps else 0.0
     result = {
-        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} renderer={renderer} (synthetic, occupancy-matched)",
+        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} renderer={renderer} (synthetic, occupancy+structure-matched)",
         "value": round(r.frame_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / r.frame_ms, 4),
@@ -66,6 +67,9 @@ def main():
         "frames": frames,
         "scale": scale,
         "wall_s": round(wall, 1),
+        "rep_ms": reps,
+        "rep_spread": round(spread, 3),
+        "renderer_used": r.renderer_used,
     }
     print(json.dumps(result))
 

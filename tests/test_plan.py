@@ -1,0 +1,81 @@
+"""Host-analytic view analysis (render/plan.py) against the on-device
+reductions it replaces: the analytic ranges must CONTAIN the device-measured
+ranges (conservative) while staying within a small factor of them, and the
+per-tile span bounds must dominate the measured spans (the kernel footprint
+limits silently corrupt pixels if underestimated)."""
+
+import numpy as np
+import pytest
+
+from vkvolume_tpu.camera import orbit_camera, perspective_camera
+from vkvolume_tpu.render import make_rays, make_uniforms
+from vkvolume_tpu.render import plan as plan_mod
+from vkvolume_tpu.render import sweep as sweep_mod
+from vkvolume_tpu.render import sweep_pallas as sp
+from vkvolume_tpu.utils import math3d
+
+CAMS = [
+    orbit_camera(radius=220.0, azimuth_deg=30, elevation_deg=20, aspect=1.0),
+    orbit_camera(radius=150.0, azimuth_deg=-50, elevation_deg=45, aspect=2.0),
+    orbit_camera(radius=400.0, azimuth_deg=110, elevation_deg=-30,
+                 aspect=16 / 9),
+    orbit_camera(radius=95.0, azimuth_deg=75, elevation_deg=5, aspect=1.5),
+    perspective_camera(eye=(180, 40, -60), center=(10, -5, 0), fovy_deg=40.0,
+                       aspect=1.0),
+]
+
+
+def _uniforms(cam, n=64):
+    node = math3d.scale((100.0 / n,) * 3)
+    img_t = math3d.scale((float(n),) * 3)
+    return make_uniforms(cam, node, img_t, 50.0, (4.0, 4.0, 4.0))
+
+
+@pytest.mark.parametrize("ci", range(len(CAMS)))
+def test_analytic_view_contains_device_stats(ci):
+    H, W = 64, 128
+    u = _uniforms(CAMS[ci])
+    view = plan_mod.analyze_view(u, H, W)
+    assert view is not None and not view["mixed"]
+
+    rays = make_rays(u, H, W)
+    p_dev = sweep_mod.principal_axis(rays)
+    assert view["p_axis"] == p_dev
+
+    st = sp.stats_to_dict(sp._plan_stats_jit(rays, p_dev))
+    # Ranges: analytic must contain the measured range...
+    assert view["wu_lo"] <= st["wu_lo"] + 1e-6
+    assert view["wu_hi"] >= st["wu_hi"] - 1e-6
+    assert view["wv_lo"] <= st["wv_lo"] + 1e-6
+    assert view["wv_hi"] >= st["wv_hi"] - 1e-6
+    # ...without being uselessly loose (cube-corner bound is near-tight).
+    meas_w = max(st["wu_hi"] - st["wu_lo"], 1e-6)
+    assert (view["wu_hi"] - view["wu_lo"]) <= 3.0 * meas_w + 0.1
+    meas_v = max(st["wv_hi"] - st["wv_lo"], 1e-6)
+    assert (view["wv_hi"] - view["wv_lo"]) <= 3.0 * meas_v + 0.1
+
+    # Tile-span bounds must dominate the measured per-tile spans.
+    assert view["span_wu"] >= st["span_wu"] * 0.999
+    assert view["span_wv"] >= st["span_wv"] * 0.999
+
+    # Medians within a small factor (they only size the grid).
+    assert 0.3 * st["du_q"] <= view["du_q"] <= 3.0 * st["du_q"]
+    assert 0.3 * st["dv_q"] <= view["dv_q"] <= 3.0 * st["dv_q"]
+
+    assert np.sign(view["sgn"]) == np.sign(st["sgn"] if st["sgn"] != 0 else 1)
+
+
+def test_analytic_view_detects_mixed_signs():
+    cam = orbit_camera(radius=10.0, azimuth_deg=45, elevation_deg=35,
+                       fovy_deg=120.0, aspect=1.0)
+    u = _uniforms(cam)
+    view = plan_mod.analyze_view(u, 64, 64)
+    assert view is not None and view["mixed"]
+
+
+def test_analytic_view_no_coverage():
+    # Camera looking away from the volume.
+    cam = perspective_camera(eye=(300, 0, 0), center=(600, 0, 0),
+                             fovy_deg=40.0, aspect=1.0)
+    u = _uniforms(cam)
+    assert plan_mod.analyze_view(u, 64, 64) is None

@@ -3,15 +3,28 @@
 The published CSVs (scripts/benchmark_results_*.csv) use three CT volumes
 (present 492³-ish, stag beetle 832×832×494, kingsnake 1024×1024×795,
 scripts/benchmark.py:27-34) that are not redistributable here. We synthesise
-deterministic volumes with the *same extents, dtypes and header format* and
-calibrated so the TF-a configs produce approximately the same occupancy
-percentages (present 7.13 %, beetle 3.97 %, snake 0.67 % — the quantity that
-drives ESS benefit). Ratios between ESS modes are the transferable signal
-(BASELINE.md); absolute fps on synthetic data is labelled as such.
+deterministic volumes with the *same extents, dtypes and header format*,
+calibrated so the TF-a configs produce the same occupancy percentages
+(present 7.13 %, beetle 3.97 %, snake 0.67 %), and — as important for ESS —
+the same *structure class*: a CT scan is one connected specimen surrounded
+by empty space, with a bright shell (chitin/wrapping/skin) around fainter
+interior tissue. Distance-map leaping earns its ~8× on exactly that
+structure (BASELINE.md); band-limited noise sprinkled through a bounding
+envelope (the round-1 synthetic) has near-zero Chebyshev distances
+everywhere inside the envelope and understates ESS for every method, so the
+stand-ins are built as explicit specimens:
 
-Construction: smooth band-limited noise (trilinear upsampling of a coarse
-seeded gaussian grid, a cheap stand-in for CT structure) linearly remapped so
-the (1 - occupancy)-quantile lands exactly at the TF intensity threshold.
+* beetle  — lumpy superellipsoid body with a bright shell band, faint
+  interior organs, six leg tubes and two mandibles;
+* present — box with a bright wrapping shell, ribbon bands and a bow;
+* snake   — long coiled tube (helical path) with bright skin and faint
+  interior, matching the kingsnake's sparse 0.67 % occupancy.
+
+Everything is generated at a coarse resolution (cheap) and trilinearly
+upsampled, then modulated with fine noise so gradient-modulated TFs see
+realistic gradient magnitudes; finally the intensity histogram is remapped
+so the (1 - occupancy)-quantile lands exactly at the TF-a intensity
+threshold (the reference's occupied-voxel metric).
 """
 
 from __future__ import annotations
@@ -50,67 +63,177 @@ DATASETS = {
                                (1024, 1024, 795), 0.2, 0.8, 0.06, 0.12, 0.67),
 }
 
+_CACHE_VERSION = 2  # bump when the construction changes (invalidates .cache)
+
+
+def _upsample(a: np.ndarray, axis: int, n: int) -> np.ndarray:
+    """Separable linear upsampling to n samples along axis."""
+    L = a.shape[axis] - 1
+    pos = np.linspace(0, L, n, dtype=np.float32)
+    i0 = np.minimum(pos.astype(np.int32), L - 1)
+    frac = pos - i0
+    a0 = np.take(a, i0, axis=axis)
+    a1 = np.take(a, i0 + 1, axis=axis)
+    shape = [1] * a.ndim
+    shape[axis] = n
+    return a0 * (1 - frac.reshape(shape)) + a1 * frac.reshape(shape)
+
+
+def _smooth(a: np.ndarray, r: int) -> np.ndarray:
+    """Separable box blur (radius r) along all three axes."""
+    if r <= 0:
+        return a
+    k = 2 * r + 1
+    out = a.astype(np.float32)
+    for axis in range(3):
+        c = np.cumsum(np.pad(out, [(r + 1, r) if i == axis else (0, 0)
+                                   for i in range(3)], mode="edge"),
+                      axis=axis, dtype=np.float32)
+        out = (np.take(c, np.arange(k - 1, k - 1 + a.shape[axis]), axis=axis)
+               - np.take(c, np.arange(0, a.shape[axis]), axis=axis)) / k
+    return out
+
+
+def _coords(shape):
+    d, h, w = shape
+    z = np.linspace(-1.0, 1.0, d, dtype=np.float32)[:, None, None]
+    y = np.linspace(-1.0, 1.0, h, dtype=np.float32)[None, :, None]
+    x = np.linspace(-1.0, 1.0, w, dtype=np.float32)[None, None, :]
+    return z, y, x
+
+
+def _tube(shape, pts: np.ndarray, radius: float) -> np.ndarray:
+    """Soft indicator of a tube of the given radius (in [-1,1] units) around
+    a polyline (rasterise points, box-smooth to the radius)."""
+    d, h, w = shape
+    grid = np.zeros(shape, np.float32)
+    iz = np.clip(((pts[:, 0] + 1) / 2 * (d - 1)).astype(int), 0, d - 1)
+    iy = np.clip(((pts[:, 1] + 1) / 2 * (h - 1)).astype(int), 0, h - 1)
+    ix = np.clip(((pts[:, 2] + 1) / 2 * (w - 1)).astype(int), 0, w - 1)
+    grid[iz, iy, ix] = 1.0
+    r_vox = max(1, int(round(radius / 2 * min(d, h, w))))
+    t = _smooth(grid, r_vox)
+    return np.clip(t * (r_vox ** 2), 0.0, 1.0)
+
+
+def _specimen_beetle(shape, rng) -> np.ndarray:
+    """Lumpy body with a bright shell, faint organs, six legs, two mandibles."""
+    z, y, x = _coords(shape)
+    lump = _upsample(_upsample(_upsample(
+        0.10 * rng.standard_normal(
+            (shape[0] // 16 + 2, shape[1] // 16 + 2, shape[2] // 16 + 2)
+        ).astype(np.float32), 0, shape[0]), 1, shape[1]), 2, shape[2])
+    # Two-lobe body (abdomen + thorax/head) along x.
+    rad1 = ((z / 0.42) ** 2 + (y / 0.40) ** 2 + ((x + 0.25) / 0.42) ** 2)
+    rad2 = ((z / 0.30) ** 2 + (y / 0.30) ** 2 + ((x - 0.38) / 0.28) ** 2)
+    rad = np.minimum(rad1, rad2) + lump
+    shell = np.exp(-(((rad - 1.0) / 0.10) ** 2)).astype(np.float32)
+    interior = 0.25 * np.clip(1.0 - rad, 0.0, 1.0)
+
+    legs = np.zeros(shape, np.float32)
+    ts = np.linspace(0.0, 1.0, 160, dtype=np.float32)
+    for i, sx in enumerate((-0.45, -0.05, 0.3)):
+        for side in (-1.0, 1.0):
+            # Bent leg: out sideways, then down.
+            py = side * (0.35 + 0.55 * ts)
+            px = sx + 0.12 * ts + 0.04 * np.sin(3 * ts + i)
+            pz = -0.1 + 0.55 * ts ** 2 * np.sign(np.sin(i + 1.0))
+            legs += _tube(shape, np.stack([pz, py, px], 1), 0.035)
+    # Mandibles: two curved horns off the head lobe.
+    for side in (-1.0, 1.0):
+        px = 0.55 + 0.45 * ts
+        py = side * (0.08 + 0.30 * ts ** 2)
+        pz = 0.05 * np.sin(3.0 * ts)
+        legs += _tube(shape, np.stack([pz, py, px], 1), 0.045)
+
+    return np.clip(shell + interior + 0.9 * np.clip(legs, 0, 1), 0.0, 1.4)
+
+
+def _specimen_present(shape, rng) -> np.ndarray:
+    """Wrapped box: bright shell faces, ribbon bands, a bow, faint filling."""
+    z, y, x = _coords(shape)
+    bz, by, bx = 0.62, 0.60, 0.60
+    dist_box = np.maximum(
+        np.maximum(np.abs(z / bz) + 0 * y + 0 * x, np.abs(y / by) + 0 * z),
+        np.abs(x / bx) + 0 * z + 0 * y,
+    )
+    shell = np.exp(-(((dist_box - 1.0) / 0.05) ** 2)).astype(np.float32)
+    inside = dist_box < 1.0
+    filling = 0.22 * inside * (
+        1.0 + 0.5 * np.sin(7 * np.pi * z) * np.sin(6 * np.pi * y)
+    ).astype(np.float32)
+    ribbon = (((np.abs(y) < 0.08) | (np.abs(x) < 0.08))
+              & (np.abs(dist_box - 1.0) < 0.12)).astype(np.float32)
+    ts = np.linspace(0, 2 * np.pi, 200, dtype=np.float32)
+    bow = _tube(shape, np.stack([
+        np.full_like(ts, -(bz + 0.08)),
+        0.25 * np.sin(2 * ts),
+        0.30 * np.sin(ts),
+    ], 1), 0.05)
+    return np.clip(shell + filling + 0.8 * ribbon + 0.9 * bow, 0.0, 1.4)
+
+
+def _specimen_snake(shape, rng) -> np.ndarray:
+    """Coiled tube with bright skin: a helical path filling the volume."""
+    d, h, w = shape
+    ts = np.linspace(0.0, 1.0, 2400, dtype=np.float32)
+    turns = 4.5
+    ang = 2 * np.pi * turns * ts
+    r_path = 0.55 + 0.15 * np.sin(5.1 * ts)
+    pz = (ts * 2.0 - 1.0) * 0.82
+    py = r_path * np.sin(ang)
+    px = r_path * np.cos(ang)
+    body = _tube(shape, np.stack([pz, py, px], 1), 0.050)
+    body_core = _tube(shape, np.stack([pz, py, px], 1), 0.032)
+    skin = np.clip(body - 0.75 * body_core, 0.0, 1.0)
+    return np.clip(1.1 * skin + 0.25 * body_core, 0.0, 1.4)
+
+
+_SPECIMENS = {
+    "present": _specimen_present,
+    "beetle": _specimen_beetle,
+    "snake": _specimen_snake,
+}
+
 
 def synthesize(ds: BenchDataset, seed: int = 0, scale: float = 1.0,
                cache_dir: str | None = ".cache") -> np.ndarray:
     """Build the uint8 (D, H, W) volume. ``scale`` < 1 shrinks extents
     proportionally (for quick tests). Deterministic; results are cached on
-    disk (full-size volumes take ~2 min of numpy to synthesise)."""
+    disk (full-size volumes take ~1-2 min of numpy to synthesise)."""
     import os
 
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(cache_dir, f"{ds.key}_s{seed}_x{scale}.npy")
+        path = os.path.join(
+            cache_dir, f"{ds.key}_v{_CACHE_VERSION}_s{seed}_x{scale}.npy")
         if os.path.exists(path):
             return np.load(path)
         vol = synthesize(ds, seed, scale, cache_dir=None)
         np.save(path, vol)
         return vol
+
     w, h, d = (max(8, int(round(e * scale))) for e in ds.extent)
     rng = np.random.default_rng(seed + (hash(ds.key) % 1000))
-    # Coarse correlated field, ~26 voxels per feature.
-    cw, ch, cd = (max(2, s // 26) for s in (w, h, d))
-    coarse = rng.standard_normal((cd + 1, ch + 1, cw + 1)).astype(np.float32)
 
-    # Trilinear upsample via separable linear interpolation.
-    def upsample(a, axis, n):
-        L = a.shape[axis] - 1
-        pos = np.linspace(0, L, n, dtype=np.float32)
-        i0 = np.minimum(pos.astype(np.int32), L - 1)
-        frac = pos - i0
-        a0 = np.take(a, i0, axis=axis)
-        a1 = np.take(a, i0 + 1, axis=axis)
-        shape = [1] * a.ndim
-        shape[axis] = n
-        frw = frac.reshape(shape)
-        return a0 * (1 - frw) + a1 * frw
+    # Specimen at up to quarter resolution (structure is smooth), upsampled.
+    cs = (max(12, d // 4), max(12, h // 4), max(12, w // 4))
+    spec = _SPECIMENS[ds.key.split("-")[0]](cs, rng)
+    field = _upsample(_upsample(_upsample(spec, 0, d), 1, h), 2, w)
 
-    field = upsample(upsample(upsample(coarse, 0, d), 1, h), 2, w)
-    # Light fine-grain texture so gradients are non-trivial.
-    field += 0.15 * rng.standard_normal(field.shape).astype(np.float32)
+    # Fine texture where the specimen is: CT noise + tissue detail. This is
+    # what gives gradient-modulated TFs realistic gradient magnitudes.
+    fine = rng.standard_normal((d // 2 + 1, h // 2 + 1, w // 2 + 1))
+    fine = _upsample(_upsample(_upsample(
+        fine.astype(np.float32), 0, d), 1, h), 2, w)
+    field = field * (1.0 + 0.22 * fine) + 0.015 * np.abs(fine)
 
-    # Compact-object envelope: real CT scans are a connected specimen inside
-    # empty space (that structure is what gives the reference its ~8× ESS
-    # win — BASELINE.md); a lumpy superellipsoid bounds the occupied region
-    # to roughly the central half of each axis.
-    zz = (np.arange(d, dtype=np.float32) / d - 0.5) * 2.0
-    yy = (np.arange(h, dtype=np.float32) / h - 0.5) * 2.0
-    xx = (np.arange(w, dtype=np.float32) / w - 0.5) * 2.0
-    rad = (
-        (np.abs(zz[:, None, None]) / 0.62) ** 3
-        + (np.abs(yy[None, :, None]) / 0.58) ** 3
-        + (np.abs(xx[None, None, :]) / 0.58) ** 3
-    )
-    lumpy = upsample(upsample(upsample(
-        0.15 * rng.standard_normal((cd + 1, ch + 1, cw + 1)).astype(np.float32),
-        0, d), 1, h), 2, w)
-    envelope = np.clip(2.0 * (1.0 - rad) + lumpy, 0.0, 1.0)
-    field = (field - field.min()) * envelope
-
-    # Remap so that P(value/255 > imin) == occupancy_pct.
+    # Remap so that P(round(value) > imin*255) == occupancy_pct exactly:
+    # the quantile lands at thr + 0.75 so u8 rounding keeps it above the
+    # strict > threshold the occupancy kernel uses.
     q = np.quantile(field, 1.0 - ds.occupancy_pct / 100.0)
     thr_u8 = ds.imin * 255.0
-    g = field / max(q, 1e-6) * thr_u8
+    g = field * ((thr_u8 + 0.75) / max(q, 1e-6))
     return np.clip(g, 0.0, 255.0).astype(np.uint8)
 
 

@@ -53,6 +53,8 @@ class BenchResult:
     gmax: float
     frame_ms: float = 0.0
     load_s: float = 0.0
+    rep_ms: tuple = ()        # per-repetition ms/frame (spread diagnostics)
+    renderer_used: str = ""
 
     def row(self):
         return [self.image, self.skipmode, self.blocksize,
@@ -102,19 +104,20 @@ def run_config(
     # Warm the jit cache, then time the steady state (the reference's
     # 1000-frame average is likewise steady-state, scripts/benchmark.py:55).
     # The shared-transport environment shows large run-to-run variance, so
-    # take the best of three repetitions (least transport contamination).
+    # run several repetitions and report the MEDIAN (the spread is kept in
+    # rep_ms; best-of was round 1's protocol and proved unstable).
     out = eng.render(cam, width, height)
     out.color.block_until_ready()
     float(out.color.ravel()[0])
-    best = float("inf")
-    for _rep in range(3):
+    reps = []
+    for _rep in range(5):
         t0 = time.perf_counter()
         for _ in range(frames):
             out = eng.render(cam, width, height)
         out.color.block_until_ready()
         float(out.color.ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    frame_ms = best / frames * 1e3
+        reps.append((time.perf_counter() - t0) / frames * 1e3)
+    frame_ms = float(np.median(reps))
 
     return BenchResult(
         image=dataset_key.split("-")[0],
@@ -125,6 +128,8 @@ def run_config(
         update=stats.map_update_ms or 0.0,
         imin=ds.imin, imax=ds.imax, gmin=ds.gmin, gmax=ds.gmax,
         frame_ms=frame_ms, load_s=load_s,
+        rep_ms=tuple(round(r, 3) for r in reps),
+        renderer_used=getattr(eng, "last_renderer", ""),
     )
 
 

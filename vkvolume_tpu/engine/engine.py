@@ -59,6 +59,9 @@ class Engine:
             self.options.test = Test.NUM_TEXTURE_SAMPLES
         self.volumes: list[Volume] = []
         self.accel_cache_dir = accel_cache_dir
+        # Per-renderer frame counts: measures how often the fast path
+        # actually runs vs the fallbacks (the plan can reject extreme views).
+        self.renderer_counts = {"pallas": 0, "sweep": 0, "marcher": 0}
 
     # ---- setup ----------------------------------------------------------
 
@@ -219,6 +222,7 @@ class Engine:
             # FOV): one global slab order cannot composite every ray
             # front-to-back — use the per-ray marcher for this frame.
             self.last_renderer = "marcher"
+            self.renderer_counts["marcher"] += 1
         uniforms = make_uniforms(
             camera,
             volume.node_transform,
@@ -257,29 +261,53 @@ class Engine:
     def _render_sweep(self, volume: Volume, camera, width: int, height: int,
                       depth_image=None) -> RenderOutput | None:
         """Sweep/Pallas frame, or None when the frame needs the marcher
-        (mixed principal-axis direction signs)."""
+        (mixed principal-axis direction signs, or no coverage analysis).
+
+        All per-frame decisions (principal axis, mixed-sign detection, the
+        w-grid plan) are host-side analytic functions of the camera
+        (render/plan.py) — the steady-state frame loop issues no synced
+        device→host transfers."""
+        from ..render import plan as plan_mod
         from ..render import sweep as sweep_mod
 
-        uniforms = make_uniforms(
-            camera,
-            volume.node_transform,
-            volume.image_transform,
-            self.options.clip_distance,
-            np.asarray(volume.effective_block_size_xyz, np.float32),
-        )
-        rays = make_rays(
-            uniforms,
-            height,
-            width,
-            depth_image=depth_image,
-            use_depth=self.options.depth_attachment and depth_image is not None,
-        )
-        p = sweep_mod.principal_axis(rays)
-        if sweep_mod.mixed_principal_signs(rays, p):
-            return None  # caller falls back to the per-ray marcher
         cache = getattr(volume, "_sweep_cache", None)
         if cache is None:
             cache = volume._sweep_cache = {}
+
+        # Per-camera-pose cache: a static camera renders with zero per-frame
+        # host analysis and zero ray-setup dispatches; an orbiting camera
+        # pays only host-side analytic math (render/plan.py).
+        use_depth = self.options.depth_attachment and depth_image is not None
+        cam_key = (camera.view.tobytes(), camera.proj.tobytes(),
+                   float(self.options.clip_distance), height, width,
+                   use_depth and id(depth_image))
+        pose = cache.get(("pose", cam_key))
+        if pose is None:
+            uniforms = make_uniforms(
+                camera,
+                volume.node_transform,
+                volume.image_transform,
+                self.options.clip_distance,
+                np.asarray(volume.effective_block_size_xyz, np.float32),
+            )
+            view = plan_mod.analyze_view(uniforms, height, width)
+            rays = None
+            if view is not None and not view["mixed"]:
+                rays = make_rays(uniforms, height, width,
+                                 depth_image=depth_image, use_depth=use_depth)
+            pose = dict(uniforms=uniforms, view=view, rays=rays)
+            # Bound the pose cache (an orbiting camera would grow it
+            # indefinitely; dropping it only costs host-side re-analysis).
+            keys = [k for k in cache if isinstance(k, tuple)
+                    and k[0] == "pose"]
+            if len(keys) > 64:
+                for k in keys:
+                    del cache[k]
+            cache[("pose", cam_key)] = pose
+        uniforms, view, rays = pose["uniforms"], pose["view"], pose["rays"]
+        if view is None or view["mixed"]:
+            return None  # caller falls back to the per-ray marcher
+        p = view["p_axis"]
         if p not in cache:
             vol_t = sweep_mod.transpose_for_axis(volume.density, p)
             grad_t = (
@@ -289,13 +317,20 @@ class Engine:
             cache[p] = (vol_t, grad_t)
         vol_t, grad_t = cache[p]
         # Any map with 0 ⇔ occupied works for slab skipping (distance maps
-        # are 0 exactly at occupied cells, occupancy is OCCUPIED=0).
+        # are 0 exactly at occupied cells, occupancy is OCCUPIED=0). For
+        # distance maps the Pallas kernel additionally leaps by the map
+        # value (dist_leap); the 8 anisotropic octant maps reduce to the
+        # isotropic Chebyshev map via a per-cell minimum.
         occ_t = None
+        dist_leap = self.options.skipping_type in (
+            SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE)
         if volume.dist_maps is not None:
             occ_key = ("occ", p, id(volume.dist_maps))
             occ_t = cache.get(occ_key)
             if occ_t is None:
-                occ_t = sweep_mod.transpose_for_axis(volume.dist_maps[0], p)
+                src = (volume.dist_maps[0] if volume.dist_maps.shape[0] == 1
+                       else jnp.min(volume.dist_maps, axis=0))
+                occ_t = sweep_mod.transpose_for_axis(src, p)
                 cache[occ_key] = occ_t
         tf = self._tf(volume)
         pvm = jnp.asarray(
@@ -314,21 +349,13 @@ class Engine:
                 and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
             )
             if pallas_ok:
-                # Frame-plan cache: static for a static camera (the plan
-                # depends only on the uniforms, image size and volume).
-                plan_key = (
-                    np.asarray(uniforms.view).tobytes(),
-                    np.asarray(uniforms.proj).tobytes(),
-                    np.asarray(uniforms.model).tobytes(),
-                    float(np.asarray(uniforms.plane)[3]),
-                    height, width, p, vol_t.shape,
-                )
-                plan = cache.get(("plan", plan_key))
-                if plan is None:
-                    stats = sp.stats_to_dict(sp._plan_stats_jit(rays, p))
-                    plan = sp.plan_from_stats(stats, uniforms, p, vol_t.shape,
+                # Host-analytic frame plan (render/plan.py): no device
+                # reductions; cached per camera pose.
+                plan = pose.get("plan")
+                if "plan" not in pose:
+                    plan = sp.plan_from_stats(view, uniforms, p, vol_t.shape,
                                               height, width)
-                    cache[("plan", plan_key)] = plan
+                    pose["plan"] = plan
                 if plan is not None:
                     import jax.numpy as _jnp
 
@@ -345,18 +372,25 @@ class Engine:
                         [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]],
                         _jnp.float32,
                     )
+                    hcoef = (_jnp.asarray(plan["hcoef"], _jnp.float32)
+                             if plan.get("hcoef") is not None else None)
                     out = sp._frame_jit(
                         vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
-                        grad_t if tf.use_gradient else None,
+                        grad_t if tf.use_gradient else None, hcoef,
                         p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
                         R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
                         ert=self.options.early_ray_termination,
                         test=self.options.test, n_slabs=n_slabs,
                         sgn_p=plan["sgn_p"],
+                        dist_leap=dist_leap and self.options.skipping_type
+                        != SkippingType.NONE and occ_t is not None,
+                        RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
                     )
                     self.last_renderer = "pallas"
+                    self.renderer_counts["pallas"] += 1
                     return out
         self.last_renderer = "sweep"
+        self.renderer_counts["sweep"] += 1
         return sweep_mod.sweep(
             vol_t, grad_t, occ_t, tf, rays, uniforms, pvm,
             p_axis=p,

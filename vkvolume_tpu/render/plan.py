@@ -1,0 +1,309 @@
+"""Host-only view analysis for the production frame plan.
+
+Round-1 planned each frame from on-device reductions over the per-pixel ray
+field (`_plan_stats_jit`), which costs a synced device→host transfer per
+camera pose (~34 ms on the tunneled transport — CLAUDE.md) and made moving
+cameras pay it every frame. Everything the plan needs is a smooth projective
+function of the camera, so this module computes it analytically on the host:
+
+* ``wu = d_u / d_p`` over the image is a ratio of bilinear functions of the
+  pixel coordinates, so its extrema over the (convex) image rectangle lie on
+  the boundary, and over the set of cube-hitting rays they lie at the cube's
+  corners (a linear-fractional function on a convex polytope attains extrema
+  at vertices while the denominator keeps one sign). The valid-ray range is
+  therefore the intersection of the cube-corner range with a densely sampled
+  image-boundary range — exact up to the conservative intersection.
+* Medians/derivative bounds come from a coarse host grid (the plan only uses
+  them to size the w-grid; the kernel footprint limits get explicit safety
+  margins re-checked by ``plan_from_stats``).
+
+No jax arrays are touched: numpy only, microseconds per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sweep import _SLICE_AXES
+
+
+def _pixel_dirs(u, height: int, width: int, py: np.ndarray, px: np.ndarray):
+    """Unnormalized texture-space ray directions for pixel centers (py, px)
+    — the numpy twin of make_rays' unprojection (ray_setup.py:141-159).
+    Normalization cancels in every ratio the plan uses."""
+    vpi = np.asarray(u.view_proj_inv, np.float64)
+    g2t = np.asarray(u.global_to_tex, np.float64)
+    o = np.asarray(u.cam_pos_tex, np.float64)
+    ndc_x = (px + 0.5) / width * 2.0 - 1.0
+    ndc_y = (py + 0.5) / height * 2.0 - 1.0
+    clip = np.stack(
+        [ndc_x, ndc_y, np.zeros_like(ndc_x), np.ones_like(ndc_x)], -1)
+    world = clip @ vpi.T
+    world = world[..., :3] / world[..., 3:4]
+    pt_tex = (
+        np.concatenate([world, np.ones_like(world[..., :1])], -1) @ g2t.T
+    )[..., :3]
+    return pt_tex - o, o
+
+
+def _valid_mask(u, d: np.ndarray, o: np.ndarray) -> np.ndarray:
+    """Cube-interval + clip-plane validity (scale-invariant port of
+    make_rays' test, ray_setup.py:161-176)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dir_inv = 1.0 / d
+        t0 = (0.0 - o) * dir_inv
+        t1 = (1.0 - o) * dir_inv
+        t_near = np.max(np.minimum(t0, t1), axis=-1)
+        t_far = np.min(np.maximum(t0, t1), axis=-1)
+        plane = np.asarray(u.plane_tex, np.float64)
+        s_o = float(plane[:3] @ o + plane[3])
+        s_d = d @ plane[:3]
+        t_plane = np.where(s_d != 0.0, -s_o / np.where(s_d == 0, 1, s_d),
+                           np.inf)
+        t_entry = np.where(s_d > 0.0, np.maximum(t_near, t_plane), t_near)
+    return (t_entry < t_far) & (t_far > 0.0)
+
+
+def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
+    """All host-side view statistics for one camera pose:
+
+    Returns a dict with the `_plan_stats_jit` keys (any_sel, wu_lo/hi,
+    wv_lo/hi, du_q, dv_q, span_wu, span_wv, sgn) plus ``p_axis`` and
+    ``mixed`` (principal-axis direction sign disagreement among valid rays
+    → caller must fall back to the per-ray marcher). None when no ray hits
+    the volume.
+    """
+    # Coarse interior grid + denser boundary for extrema.
+    ys = np.linspace(0, height - 1, grid)
+    xs = np.linspace(0, width - 1, 2 * grid)
+    py, px = np.meshgrid(ys, xs, indexing="ij")
+    d, o = _pixel_dirs(u, height, width, py, px)
+    valid = _valid_mask(u, d, o)
+    if not valid.any():
+        return None
+
+    # Principal axis from the mean valid direction (normalize first so the
+    # mean is direction-weighted like sweep.principal_axis).
+    dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    mean = dn[valid].mean(axis=0)
+    p_axis = int(np.argmax(np.abs(mean)))
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+
+    d_p = d[..., p_axis]
+    ok = np.abs(d_p) > 1e-9 * np.linalg.norm(d, axis=-1)
+    sel = valid & ok
+    if not sel.any():
+        return None
+    dpv = d_p[sel]
+    mixed = bool((dpv > 0).any() and (dpv < 0).any())
+    sgn = 1.0 if np.median(dpv) >= 0 else -1.0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wu = np.where(sel, d[..., u_ax] / np.where(ok, d_p, 1.0), np.nan)
+        wv = np.where(sel, d[..., v_ax] / np.where(ok, d_p, 1.0), np.nan)
+
+    # Exact extrema of wu/wv over cube-hitting rays: cube corners (see
+    # module docstring), intersected with the sampled in-frustum range.
+    o3 = o
+    corners = np.array(
+        [[i, j, k] for i in (0.0, 1.0) for j in (0.0, 1.0) for k in (0.0, 1.0)]
+    )
+    cd = corners - o3
+    cd_p = cd[:, p_axis]
+    if mixed or np.abs(cd_p).min() < 1e-9:
+        # Denominator changes sign across the cube: the linear-fractional
+        # argument fails; report mixed so the caller uses the marcher.
+        return dict(any_sel=1.0, mixed=True, p_axis=p_axis, sgn=sgn,
+                    wu_lo=np.nan, wu_hi=np.nan, wv_lo=np.nan, wv_hi=np.nan,
+                    du_q=np.nan, dv_q=np.nan, span_wu=np.nan, span_wv=np.nan)
+    cwu = cd[:, u_ax] / cd_p
+    cwv = cd[:, v_ax] / cd_p
+
+    # In-frustum range from the grid samples, padded by one local grid step
+    # of slope (valid pixels between samples).
+    def rng(a, corner_vals):
+        lo_s, hi_s = np.nanmin(a), np.nanmax(a)
+        da_x = np.abs(np.diff(a, axis=1))
+        da_y = np.abs(np.diff(a, axis=0))
+        pad = max(np.nanmax(da_x) if np.isfinite(da_x).any() else 0.0,
+                  np.nanmax(da_y) if np.isfinite(da_y).any() else 0.0)
+        lo = max(lo_s - pad, corner_vals.min())
+        hi = min(hi_s + pad, corner_vals.max())
+        return lo, hi
+
+    wu_lo, wu_hi = rng(wu, cwu)
+    wv_lo, wv_hi = rng(wv, cwv)
+
+    # Per-pixel footprint medians over the valid samples (grid → pixel
+    # units). Direction-agnostic: wu can vary along either image axis
+    # (depends on the camera roll relative to the texture axes), so the
+    # footprint is the larger of the two derivative magnitudes.
+    step_x = xs[1] - xs[0]
+    step_y = ys[1] - ys[0]
+    with np.errstate(invalid="ignore"):
+        du_x = np.abs(np.diff(wu, axis=1)) / step_x     # |∂wu/∂j|
+        du_y = np.abs(np.diff(wu, axis=0)) / step_y     # |∂wu/∂i|
+        dv_x = np.abs(np.diff(wv, axis=1)) / step_x
+        dv_y = np.abs(np.diff(wv, axis=0)) / step_y
+        du = np.fmax(du_x[:-1, :], du_y[:, :-1])
+        dv = np.fmax(dv_x[:-1, :], dv_y[:, :-1])
+    fin = lambda a: a[np.isfinite(a) & (a > 0)]
+    du_f, dv_f = fin(du), fin(dv)
+    if du_f.size == 0 or dv_f.size == 0:
+        return None
+    du_q = float(np.median(du_f))
+    dv_q = float(np.median(dv_f))
+
+    # Per-tile span bounds on an 8-pixel corner lattice: the slope of wu/wv
+    # varies strongly across a wide-FOV image, so a global-max-slope bound
+    # would be ~10× pessimistic; instead evaluate on every tile's actual
+    # corners and take max-min per aligned tile (+15% curvature margin).
+    step_y = 8 if height >= 512 else 2
+    step_x = 8 if width >= 512 else 2
+    ys8 = np.arange(0.0, height + step_y - 1.0, float(step_y))
+    xs8 = np.arange(0.0, width + step_x - 1.0, float(step_x))
+    ly, lx = np.meshgrid(ys8 - 0.5, xs8 - 0.5, indexing="ij")
+    dl, _ = _pixel_dirs(u, height, width, ly, lx)
+    val_l = _valid_mask(u, dl, o)
+    dlp = dl[..., p_axis]
+    okl = np.abs(dlp) > 1e-9 * np.linalg.norm(dl, axis=-1)
+    # Span uses strictly valid samples: dilating into the invalid region
+    # reaches the wu blow-up zone past the silhouette/clip boundary and
+    # inflates the bound ~2-3× (measured), which forces the catastrophic
+    # non-Pallas fallback. Valid pixels between lattice samples are covered
+    # by the 15% curvature margin (an 8 px cell of a projective map is
+    # near-linear).
+    sel_l = val_l & okl
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wu_l = np.where(sel_l, dl[..., u_ax] / np.where(okl, dlp, 1.0), np.nan)
+        wv_l = np.where(sel_l, dl[..., v_ax] / np.where(okl, dlp, 1.0), np.nan)
+
+    th = max(1, 8 // step_y)
+    tw = max(1, 128 // step_x)
+    span_wu = 1.2 * tile_span_from_lattice(wu_l, th, tw)
+    span_wv = 1.2 * tile_span_from_lattice(wv_l, th, tw)
+    # Transposed tiles (128 px along i, 8 along j) for the two-pass warp.
+    span_wv_t = 1.2 * tile_span_from_lattice(wv_l, 128 // step_y,
+                                             max(1, 8 // step_x))
+
+    return dict(
+        any_sel=1.0, mixed=False, p_axis=p_axis, sgn=sgn,
+        wu_lo=float(wu_lo), wu_hi=float(wu_hi),
+        wv_lo=float(wv_lo), wv_hi=float(wv_hi),
+        du_q=du_q, dv_q=dv_q, span_wu=float(span_wu), span_wv=float(span_wv),
+        span_wv_t=float(span_wv_t),
+    )
+
+
+def tile_span_from_lattice(a: np.ndarray, th: int, tw: int) -> float:
+    """Max per-tile (max-min) of lattice samples; tiles are aligned (th×tw)
+    windows of lattice CELLS, i.e. (th+1)×(tw+1) corner samples each.
+    NaN marks invalid samples (ignored); fully-invalid tiles are skipped."""
+    R, C = a.shape
+    nty = max(1, -(-(R - 1) // th))
+    ntx = max(1, -(-(C - 1) // tw))
+    mn = np.full((nty, ntx), np.inf)
+    mx = np.full((nty, ntx), -np.inf)
+    for oy in range(th + 1):
+        rows = np.minimum(np.arange(nty) * th + oy, R - 1)
+        for ox in range(tw + 1):
+            cols = np.minimum(np.arange(ntx) * tw + ox, C - 1)
+            sub = a[np.ix_(rows, cols)]
+            mn = np.fmin(mn, sub)
+            mx = np.fmax(mx, sub)
+    sp = (mx - mn)
+    sp = sp[np.isfinite(sp)]
+    return float(sp.max()) if sp.size else 0.0
+
+
+def homography_coeffs(u, p_axis: int, height: int, width: int) -> np.ndarray:
+    """Exact projective coefficients of the pixel→(wu, wv) map.
+
+    The unnormalized texture-space direction D(i, j) = pt_tex_h[:3] −
+    o·pt_tex_h[3] is AFFINE in the pixel coordinates (the unprojection chain
+    is linear in homogeneous clip coords; ndc is affine in pixels), so
+
+        wu = (a_u·i + b_u·j + c_u) / (a_p·i + b_p·j + c_p)
+        wv = (a_v·i + b_v·j + c_v) / (a_p·i + b_p·j + c_p)
+
+    with a shared denominator. Returns the 9 coefficients
+    [a_u, b_u, c_u, a_v, b_v, c_v, a_p, b_p, c_p] (float64)."""
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    vpi = np.asarray(u.view_proj_inv, np.float64)
+    g2t = np.asarray(u.global_to_tex, np.float64)
+    o = np.asarray(u.cam_pos_tex, np.float64)
+
+    def D(py, px):
+        ndc_x = (px + 0.5) / width * 2.0 - 1.0
+        ndc_y = (py + 0.5) / height * 2.0 - 1.0
+        clip = np.array([ndc_x, ndc_y, 0.0, 1.0])
+        pt4 = g2t @ (vpi @ clip)
+        return pt4[:3] - o * pt4[3]
+
+    d00 = D(0.0, 0.0)
+    di = D(1.0, 0.0) - d00
+    dj = D(0.0, 1.0) - d00
+    return np.array([
+        di[u_ax], dj[u_ax], d00[u_ax],
+        di[v_ax], dj[v_ax], d00[v_ax],
+        di[p_axis], dj[p_axis], d00[p_axis],
+    ], np.float64)
+
+
+def pass_a_positions_np(hc: np.ndarray, plan: dict, yg: np.ndarray,
+                        j: np.ndarray):
+    """Numpy twin of the in-jit pass-A position math (plan feasibility +
+    tests): XA[yg, j] = gx(Î(yg, j), j) where Î solves gy(Î, j) = yg.
+    Returns (xa, ihat)."""
+    au, bu, cu, av, bv, cv, ap, bp, cp = hc
+    wv_t = plan["wv0"] + (yg + 0.5) * plan["dwv"]
+    den = av - wv_t * ap
+    num = wv_t * (bp * j + cp) - (bv * j + cv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ihat = num / den
+        wu = (au * ihat + bu * j + cu) / (ap * ihat + bp * j + cp)
+        xa = (wu - plan["wu0"]) / plan["dwu"] - 0.5
+    return xa, ihat
+
+
+def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
+                       plan: dict, view: dict) -> dict | None:
+    """Feasibility + rect widths for the two-pass projective warp; None →
+    caller uses the single-pass warp.
+
+    Pass-A positions are only meaningful where the solved image row Î lies
+    in (a margin around) the image — the kernel masks the rest (XA = -10) —
+    so feasibility measures the per-tile span of the MASKED positions on a
+    tile-corner lattice, with a wider validity margin than the kernel uses
+    (the measured region strictly contains the kernel-active one)."""
+    hc = homography_coeffs(u, p_axis, height, width)
+    Hi = plan["Hi"]
+
+    yg, j = np.meshgrid(np.arange(0.0, Hi + 7.0, 8.0),
+                        np.arange(0.0, width + 7.0, 8.0), indexing="ij")
+    xa, ihat = pass_a_positions_np(hc, plan, yg, j)
+    ok = np.isfinite(xa) & (ihat >= -16.0) & (ihat <= height + 15.0)
+    if not ok.any():
+        return None
+    xa = np.where(ok, xa, np.nan)
+    span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
+
+    span_b = view["span_wv_t"] / plan["dwv"]
+
+    def pick(span):
+        # The row-aligned rect is (C, 8, RECT) f32 in VMEM — 4096 lanes is
+        # ~524 KB at C=4 (VMEM is 16 MB), so wide windows are cheap; the
+        # lane-select chain grows by one take per extra 128 lanes and the
+        # per-tile DMA stays a few hundred KB.
+        if not np.isfinite(span):
+            return None
+        # 256-step quantization: each distinct rect is a jit specialization.
+        rect = -(-int(span + 132.0) // 256) * 256
+        rect = max(rect, 256)
+        return rect if rect <= 4096 else None
+
+    ra = pick(span_a)
+    rb = pick(span_b)
+    if ra is None or rb is None:
+        return None
+    return dict(hcoef=hc, RECT_A=ra, RECT_B=rb)

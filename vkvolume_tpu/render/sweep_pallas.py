@@ -53,14 +53,14 @@ TILE_W = 128
 RECT_W = 256
 
 
-def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
+def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             wu_ref, wv_ref, slo_ref, shi_ref, kap_ref, cov_ref,  # VMEM tiles
             coarse_ref,                             # (mp, CVp, 128) u8 VMEM
             vol_ref,                                # ANY (manual DMA)
             grad_ref,                               # ANY (zeros if unused)
             lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
             scratch, sems, gscratch, gsems,         # rect buffers + DMA sems
-            *, R, ert, count_samples, use_gradient):
+            *, R, ert, count_samples, use_gradient, separable):
     f = jnp.float32
     n_slabs = meta_ref[0]
     Np = meta_ref[1]
@@ -84,6 +84,8 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
     inv_cvox_u = fpar_ref[8]
     gmin = fpar_ref[9]
     ginv = fpar_ref[10]
+    drift_u = fpar_ref[11]       # map cells drifted per map plane at |w|=1
+    drift_v = fpar_ref[12]
     CVp = coarse_ref.shape[1]
     mp_c = coarse_ref.shape[0]
 
@@ -143,31 +145,25 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         zp = s * Np.astype(f) - 0.5
         return jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, Np - 2)
 
-    def slab_valid(k):
-        """Cheap scalar test driving the skip loop: in-range ∧ per-slab
-        occupied-bbox overlap with the tile footprint (SMEM scalars)."""
-        ok = in_range(k)
-        kc = jnp.clip(k, 0, n_slabs - 1)
-        bvmin = bbox_ref[0, kc]
-        bvmax = bbox_ref[1, kc]
-        bumin = bbox_ref[2, kc]
-        bumax = bbox_ref[3, kc]
-        qu_lo, qu_hi, qv_lo, qv_hi = qu_bounds(kc)
-        hit = (
-            (bvmin >= 0)
-            & (bumin.astype(f) <= qu_hi + 1.0)
-            & (bumax.astype(f) >= qu_lo)
-            & (bvmin.astype(f) <= qv_hi + 1.0)
-            & (bvmax.astype(f) >= qv_lo)
-        )
-        return ok & hit
+    # Per-tile footprint drift rate (map cells per map plane along p) for
+    # the Chebyshev leap: a leap of P planes drifts the footprint by at
+    # most P·rate cells in u/v, so P = floor((d-1)/rate) stays inside the
+    # empty Chebyshev ball of radius d-1 (the reference's leap formula,
+    # volume_render.frag:242-244, lifted to tile granularity).
+    rate = jnp.maximum(
+        f(1.0),
+        jnp.maximum(
+            jnp.maximum(jnp.abs(wu_min), jnp.abs(wu_max)) * drift_u,
+            jnp.maximum(jnp.abs(wv_min), jnp.abs(wv_max)) * drift_v,
+        ),
+    )
+    inv_dsNp = 1.0 / (ds * Np.astype(f))     # slabs per voxel plane along p
 
-    def coarse_occupied(k):
-        """Exact 2D query against the VMEM coarse occupancy grid: any
-        occupied coarse cell inside the tile's (dilated) footprint on slab
-        k's map plane (coarse_ref[m] is pre-OR'd with plane m+1). Run once
-        per candidate slab in the sampling body — failing it skips the whole
-        sampling block."""
+    def window_min_d(k):
+        """Min pooled map value over the tile's (dilated) footprint on slab
+        k's map planes (coarse_ref[m] is pre-min'd with plane m+1): 0 means
+        an occupied cell is in the footprint (must sample); d ≥ 1 means
+        every cell within Chebyshev d-1 of the footprint is empty."""
         kc = jnp.clip(k, 0, n_slabs - 1)
         qu_lo, qu_hi, qv_lo, qv_hi = qu_bounds(kc)
         m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
@@ -186,18 +182,47 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
         mask = ((rows >= cv_lo) & (rows <= cv_hi)
                 & (cols >= cu_lo) & (cols <= cu_hi))
-        occ_hit = jnp.any(jnp.logical_and(mask, block != 0))
-        return occ_hit | (cv_hi > cv8 + 15)
+        d = jnp.min(jnp.where(mask, block.astype(jnp.int32), 255))
+        # Window taller than the 16-row view → can't see the whole
+        # footprint → conservatively occupied.
+        return jnp.where(cv_hi > cv8 + 15, 0, d)
+
+    def leap_target(k, d):
+        """Next slab index after leaping over the empty Chebyshev ball of
+        radius d-1 around slab k's footprint (conservative: may land one
+        slab short; never lands past an occupied slab)."""
+        P = jnp.floor((d.astype(f) - 1.0) / rate).astype(jnp.int32)
+        c0 = k0_of(k) // bp_p
+        fwd = jnp.maximum(
+            k + 1,
+            jnp.floor(
+                (((c0 + P + 1) * bp_p - 2).astype(f) + 1.5) * inv_dsNp - 0.5
+            ).astype(jnp.int32),
+        )
+        bwd = jnp.minimum(
+            k - 1,
+            jnp.ceil(
+                (((c0 - P) * bp_p).astype(f) + 0.5) * inv_dsNp - 0.5
+            ).astype(jnp.int32) - 1,
+        )
+        return jnp.where(sgn_i > 0, fwd, bwd)
 
     def next_valid(k):
-        """First k' (k inclusive, stepping sgn) with slab_valid, else k_end."""
-        def cond(kk):
-            return in_range(kk) & ~slab_valid(kk)
+        """First slab k' (k inclusive, stepping sgn) whose footprint holds
+        an occupied map cell, leaping by the Chebyshev distance; k_end-ward
+        out-of-range if none."""
+        def cond(st):
+            kk, done = st
+            return in_range(kk) & ~done
 
-        def body(kk):
-            return kk + sgn_i
+        def body(st):
+            kk, _ = st
+            d = window_min_d(kk)
+            occupied = d == 0
+            return jnp.where(occupied, kk, leap_target(kk, d)), occupied
 
-        return jax.lax.while_loop(cond, body, k)
+        kk, _ = jax.lax.while_loop(cond, body, (k, jnp.bool_(False)))
+        return kk
 
     def _dma(k, slot):
         v0a, u0a = rect_uv(k)
@@ -270,7 +295,7 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
         pixel_work = cov & (s_cur >= s_lo) & (s_cur <= s_hi)
         if ert:
             pixel_work = pixel_work & (alpha <= 0.99)
-        do_sample = jnp.any(pixel_work) & coarse_occupied(k_cur)
+        do_sample = jnp.any(pixel_work)
 
         def sample_block(carry):
             lum, alpha, firsts, nsamp = carry
@@ -298,7 +323,9 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
             r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - 1 - v0a
             r_hi = jnp.ceil(qv_max_t).astype(jnp.int32) + 1 - v0a
 
-            def sample_rows(buf):
+            def sample_rows_general(buf):
+                """Arbitrary per-pixel (wu, wv): per-row tent accumulation
+                (each rect row broadcast to the tile, gathered per pixel)."""
                 def row_block(b, acc):
                     def do(acc):
                         a = acc
@@ -342,6 +369,55 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
                 for b in range(R // 8):
                     acc = row_block(b, acc)
                 return acc
+
+            def sample_rows_separable(buf):
+                """w-grid sampling: wu constant per column, wv per row, so
+                one lane gather serves 8 rect rows at once (sublane batch)
+                and the v tent reduces to an (8,R)@(R,128) matmul."""
+                blocks = []
+                for b in range(R // 8):
+                    def do(_, b=b):
+                        r0 = buf[slot, 0, b * 8:(b + 1) * 8, :]
+                        r1 = buf[slot, 1, b * 8:(b + 1) * 8, :]
+                        rows = (r0.astype(jnp.int32).astype(f) * (1.0 - fp)
+                                + r1.astype(jnp.int32).astype(f) * fp)
+                        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                                       for h in range(RECT_W // 128))
+
+                        def u_tap(il):
+                            g = jnp.take_along_axis(
+                                halves[0], jnp.minimum(il, 127), axis=1)
+                            for h in range(1, RECT_W // 128):
+                                g = jnp.where(
+                                    il < 128 * h, g,
+                                    jnp.take_along_axis(
+                                        halves[h],
+                                        jnp.clip(il - 128 * h, 0, 127),
+                                        axis=1),
+                                )
+                            return g
+
+                        g0 = u_tap(il0)
+                        g1 = u_tap(il1)
+                        return g0 + (g1 - g0) * fu           # (8, TILE_W)
+
+                    overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
+                    blocks.append(jax.lax.cond(
+                        overlap, do,
+                        lambda _: jnp.zeros((8, TILE_W), f), 0))
+                colu = jnp.concatenate(blocks, axis=0)        # (R, TILE_W)
+                # Tent weights per tile row (qv is sublane-constant).
+                r_glob = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, R), 1)
+                          + v0a).astype(f)
+                what = jnp.maximum(0.0, 1.0 - jnp.abs(qv[:, 0:1] - r_glob))
+                return jax.lax.dot_general(
+                    what, colu, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f,
+                )
+
+            sample_rows = (sample_rows_separable if separable
+                           else sample_rows_general)
 
             intensity = sample_rows(scratch) * f(1.0 / 255.0)
             a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
@@ -408,12 +484,13 @@ def _kernel(meta_ref, fpar_ref, bbox_ref,          # SMEM (prefetch)
 @functools.partial(
     jax.jit,
     static_argnames=("p_axis", "R", "ert", "test", "count_samples",
-                     "n_slabs", "interpret"),
+                     "n_slabs", "interpret", "separable", "dist_leap"),
 )
 def _sweep_pallas_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
     proj_view_model, grad_t=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, interpret=False,
+    separable=False, dist_leap=False,
 ):
     f = jnp.float32
     H, W = rays.valid.shape
@@ -452,64 +529,48 @@ def _sweep_pallas_jit(
     dim_max = max(Np, Sv, Su)
     kappa = f(dim_max) * ds / jnp.abs(safe_dp)
 
-    # ---- per-slab bboxes from the occupancy map ----
+    # ---- coarse 2D map for per-(tile, slab) culling + Chebyshev leaps ----
+    # Pooled MIN of the map (0 = occupied): for a plain occupancy map the
+    # values are clamped to {0, 1} (leaps degenerate to single steps); for a
+    # Chebyshev distance map (dist_leap) the values drive multi-plane leaps.
+    # Cell size: >= 8 voxels along v (bounds the in-kernel 16-row window),
+    # and mu pooled into <= 128 lanes along u.
     mp, mv, mu = occupancy_t.shape
     occ = occupancy_t == 0
-    idx_v = jax.lax.broadcasted_iota(jnp.int32, (mp, mv), 1)
-    idx_u = jax.lax.broadcasted_iota(jnp.int32, (mp, mu), 1)
-    any_v = jnp.any(occ, axis=2)
-    any_u = jnp.any(occ, axis=1)
-    big = jnp.int32(1 << 30)
-    vmin_m = jnp.min(jnp.where(any_v, idx_v, big), axis=1)
-    vmax_m = jnp.max(jnp.where(any_v, idx_v, -big), axis=1)
-    umin_m = jnp.min(jnp.where(any_u, idx_u, big), axis=1)
-    umax_m = jnp.max(jnp.where(any_u, idx_u, -big), axis=1)
-    nonempty_m = jnp.any(any_v, axis=1)
 
     bp_p = -(-Np // mp)
     bp_v = -(-Sv // mv)
     bp_u = -(-Su // mu)
 
-    ks = jnp.arange(n_slabs, dtype=jnp.int32)
-    s_ks = (ks.astype(f) + 0.5) * ds
-    zps = s_ks * Np - 0.5
-    k0s = jnp.clip(jnp.floor(zps).astype(jnp.int32), 0, Np - 2)
-    m0 = jnp.clip(k0s // bp_p, 0, mp - 1)
-    m1 = jnp.clip((k0s + 1) // bp_p, 0, mp - 1)
-
-    ne = nonempty_m[m0] | nonempty_m[m1]
-    vmin = jnp.minimum(vmin_m[m0], vmin_m[m1]) * bp_v - 1
-    vmax = (jnp.maximum(vmax_m[m0], vmax_m[m1]) + 1) * bp_v
-    umin = jnp.minimum(umin_m[m0], umin_m[m1]) * bp_u - 1
-    umax = (jnp.maximum(umax_m[m0], umax_m[m1]) + 1) * bp_u
-    bbox = jnp.stack([
-        jnp.where(ne, vmin, -1),
-        jnp.where(ne, vmax, -1),
-        jnp.where(ne, umin, 0),
-        jnp.where(ne, umax, 0),
-    ]).astype(jnp.int32)
-
-    # ---- coarse 2D occupancy grid for per-(tile, slab) culling ----
-    # Cell size: >= 8 voxels along v (bounds the in-kernel 16-row window),
-    # and mu pooled into <= 128 lanes along u.
     factor_v = max(1, -(-8 // bp_v))
     factor_u = max(-(-mu // 128), max(1, -(-8 // bp_u)))
     CV = -(-mv // factor_v)
     CU = -(-mu // factor_u)
-    occ_pad = jnp.pad(
-        occ, ((0, 0), (0, CV * factor_v - mv), (0, CU * factor_u - mu))
+    dmap = occupancy_t if dist_leap else jnp.minimum(occupancy_t, 1)
+    dmap_pad = jnp.pad(
+        dmap, ((0, 0), (0, CV * factor_v - mv), (0, CU * factor_u - mu)),
+        constant_values=255,
     )
-    coarse = jnp.any(
-        occ_pad.reshape(mp, CV, factor_v, CU, factor_u), axis=(2, 4)
+    coarse = jnp.min(
+        dmap_pad.reshape(mp, CV, factor_v, CU, factor_u), axis=(2, 4)
     )
-    # OR with the next plane: slab k interpolates map planes m0 and m0+1.
-    coarse = coarse | jnp.concatenate([coarse[1:], coarse[-1:]], axis=0)
+    # Min with the next plane: slab k interpolates map planes m0 and m0+1.
+    coarse = jnp.minimum(coarse, jnp.concatenate([coarse[1:], coarse[-1:]],
+                                                 axis=0))
     CVp = max(16, -(-CV // 8) * 8)
     coarse_u8 = jnp.pad(
-        coarse.astype(jnp.uint8), ((0, 0), (0, CVp - CV), (0, 128 - CU))
-    )
+        coarse, ((0, 0), (0, CVp - CV), (0, 128 - CU)), constant_values=255
+    ).astype(jnp.uint8)
 
+    # Globally occupied slab range (slabs outside are empty for every tile).
+    nonempty_m = jnp.any(occ, axis=(1, 2))
     ks_i = jnp.arange(n_slabs, dtype=jnp.int32)
+    s_ks = (ks_i.astype(f) + 0.5) * ds
+    zps = s_ks * Np - 0.5
+    k0s = jnp.clip(jnp.floor(zps).astype(jnp.int32), 0, Np - 2)
+    m0 = jnp.clip(k0s // bp_p, 0, mp - 1)
+    m1 = jnp.clip((k0s + 1) // bp_p, 0, mp - 1)
+    ne = nonempty_m[m0] | nonempty_m[m1]
     k_occ_lo = jnp.min(jnp.where(ne, ks_i, jnp.int32(n_slabs)))
     k_occ_hi = jnp.max(jnp.where(ne, ks_i, jnp.int32(-1)))
     meta = jnp.asarray(
@@ -523,6 +584,8 @@ def _sweep_pallas_jit(
         jnp.float32(1.0 / (factor_v * bp_v)),
         jnp.float32(1.0 / (factor_u * bp_u)),
         tf.gradient_min, tf.gradient_range_inv,
+        jnp.float32(Su * bp_p / (Np * bp_u)),     # drift_u (cells/plane)
+        jnp.float32(Sv * bp_p / (Np * bp_v)),     # drift_v
     ])
 
     grid = (H // TILE_H, W // TILE_W)
@@ -531,10 +594,11 @@ def _sweep_pallas_jit(
     kern = functools.partial(_kernel, R=R, ert=ert,
                              count_samples=count_samples or
                              test == Test.NUM_TEXTURE_SAMPLES,
-                             use_gradient=use_gradient)
+                             use_gradient=use_gradient,
+                             separable=separable)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_H, TILE_W), tile_map),   # wu
@@ -573,7 +637,7 @@ def _sweep_pallas_jit(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        meta, fpar, bbox,
+        meta, fpar,
         wu.astype(f), wv.astype(f), s_lo.astype(f), s_hi.astype(f),
         kappa.astype(f), covered.astype(f),
         coarse_u8,
@@ -672,10 +736,14 @@ def sweep_pallas(
     oversample: float = 1.0,
     R: int = 16,
     interpret: bool = False,
+    dist_leap: bool = False,
 ) -> RenderOutput:
     """Public entry. ``vol_t``/``occupancy_t`` must already be transposed for
     ``p_axis`` (see sweep.transpose_for_axis). Entry/Exit test modes are
-    handled by the caller (identical to the XLA sweep)."""
+    handled by the caller (identical to the XLA sweep). ``dist_leap``
+    declares ``occupancy_t`` to be a Chebyshev distance map (0 = occupied),
+    enabling multi-plane leaps in the slab skip loop; with a plain occupancy
+    map it must stay False."""
     H, W = rays.valid.shape
     Np = vol_t.shape[0]
     # Pick the smallest rect height that fits this view (bigger R costs a
@@ -696,7 +764,7 @@ def sweep_pallas(
     return _sweep_pallas_jit(
         vol_t, occupancy_t, tf, rays, uniforms, proj_view_model, grad_t,
         p_axis=p_axis, R=R, ert=ert, test=test, count_samples=count_samples,
-        n_slabs=n_slabs, interpret=interpret,
+        n_slabs=n_slabs, interpret=interpret, dist_leap=dist_leap,
     )
 
 
@@ -746,8 +814,12 @@ def _plan_stats_jit(rays: RaySetup, p_axis: int):
         sp = jnp.nanmax(t, axis=1) - jnp.nanmin(t, axis=1)
         return jnp.nanmax(jnp.where(jnp.isnan(sp), 0.0, sp))
 
-    du = jnp.abs(jnp.diff(wu, axis=1))
-    dv = jnp.abs(jnp.diff(wv, axis=0))
+    # Direction-agnostic pixel footprint (wu can vary along either image
+    # axis depending on the camera roll) — matches plan.analyze_view.
+    du = jnp.fmax(jnp.abs(jnp.diff(wu, axis=1))[:-1, :],
+                  jnp.abs(jnp.diff(wu, axis=0))[:, :-1])
+    dv = jnp.fmax(jnp.abs(jnp.diff(wv, axis=1))[:-1, :],
+                  jnp.abs(jnp.diff(wv, axis=0))[:, :-1])
     # One stacked vector → a single device-to-host transfer per frame.
     # Medians on a strided subsample: a full-resolution median is a full
     # device sort (hundreds of ms at 2M elements); ~32K keeps the same
@@ -780,7 +852,16 @@ def stats_to_dict(stats_vec) -> dict:
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
                max_oversample: float = 2.5):
-    """Host-side frame plan from per-pixel rays (see plan_from_stats)."""
+    """Host-side frame plan (see plan_from_stats). Prefers the analytic view
+    statistics (render/plan.py — no device reductions, enables the two-pass
+    warp); falls back to on-device reductions over ``rays`` when the
+    analytic analysis is unavailable or disagrees on the principal axis."""
+    from . import plan as plan_mod
+
+    view = plan_mod.analyze_view(uniforms, height, width)
+    if view is not None and not view["mixed"] and view["p_axis"] == p_axis:
+        return plan_from_stats(view, uniforms, p_axis, vol_shape_t, height,
+                               width, max_oversample)
     st = stats_to_dict(_plan_stats_jit(rays, p_axis))
     return plan_from_stats(st, uniforms, p_axis, vol_shape_t, height, width,
                            max_oversample)
@@ -788,9 +869,15 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
 
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     height: int, width: int, max_oversample: float = 2.5):
-    """Grid sizing + static kernel parameters from the on-device statistics.
-    Returns None when the view violates the kernel limits (caller falls back
-    to the XLA sweep)."""
+    """Grid sizing + static kernel parameters from the view statistics.
+
+    Searches over a grid-coarsening factor: diagonal views (|wu| → large)
+    inflate the per-tile warp windows, and a modestly coarser w-grid shrinks
+    them linearly (the sweep's own footprint lower bounds on the grid are
+    enforced at every factor). Quality degrades gracefully — up to ~2×
+    undersampling of the median pixel footprint — which beats the order-of-
+    magnitude cost of the non-Pallas fallback. Returns None when no factor
+    satisfies the kernel limits."""
     Np, Sv, Su = vol_shape_t
     if not st["any_sel"]:
         return None
@@ -803,59 +890,95 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     o_p = float(np.asarray(uniforms.cam_pos_tex)[p_axis])
     t_max = max(abs(0.0 - o_p), abs(1.0 - o_p))
 
-    Wi = max((wu_hi - wu_lo) / max(st["du_q"], 1e-9),
-             (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0, 128.0)
-    Hi = max((wv_hi - wv_lo) / max(st["dv_q"], 1e-9),
-             (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0, 8.0)
-    if not (np.isfinite(Wi) and np.isfinite(Hi)):
-        return None
-    if Wi > width * max_oversample or Hi > height * max_oversample:
-        return None
-    Wi = -(-int(Wi) // 128) * 128
-    Hi = -(-int(Hi) // 8) * 8
-    dwu = (wu_hi - wu_lo) / Wi
-    dwv = (wv_hi - wv_lo) / Hi
-
-    # Sweep kernel rect height (analytic on the uniform grid).
-    span_v = 8.0 * dwv * Sv * t_max
-    R_sweep = None
-    for cand in (16, 24, 32, 48):
-        if span_v <= cand - 10:
-            R_sweep = cand
-            break
-    if R_sweep is None:
+    # Quality sizing (median pixel footprint) and the sweep kernel's own
+    # LOWER bounds on grid resolution (per-tile source footprint limits).
+    Wi_q = (wu_hi - wu_lo) / max(st["du_q"], 1e-9)
+    Hi_q = (wv_hi - wv_lo) / max(st["dv_q"], 1e-9)
+    Wi_k = (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0
+    Hi_k = (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0
+    if not all(np.isfinite(v) for v in (Wi_q, Hi_q, Wi_k, Hi_k)):
         return None
 
-    # Warp rect height from per-tile pixel→grid spans.
     from . import warp_pallas as _wp
 
-    span_gx = st["span_wu"] / dwu
-    span_gy = st["span_wv"] / dwv
-    if span_gx > _wp.RECT_W - 132:
-        return None
-    R_warp = None
-    for cand in (16, 24, 32, 48, 64, 96, 128, 192):
-        if span_gy <= cand - 10:
-            R_warp = cand
-            break
-    if R_warp is None:
-        return None
-
     sgn_p = 1.0 if st["sgn"] >= 0 else -1.0
-    return dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
-                wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p)
+    # Grid-size allowance: proportional for big images, with an absolute
+    # floor so small images can still host the range-driven grid the sweep
+    # footprint limits demand (grid size is range-driven, not image-driven).
+    cap_w = max(width * max_oversample, 2304.0)
+    cap_h = max(height * max_oversample, 1536.0)
+    for f in (1.0, 1.3, 1.7, 2.2):
+        Wi = max(Wi_q / f, Wi_k, 128.0)
+        Hi = max(Hi_q / f, Hi_k, 8.0)
+        if Wi > cap_w or Hi > cap_h:
+            continue
+        # Quantize grid dims coarsely: every distinct (Hi, Wi) is a separate
+        # jit specialization, and a moving camera would otherwise recompile
+        # every few frames.
+        Wi = -(-int(Wi) // 256) * 256
+        Hi = -(-int(Hi) // 64) * 64
+        dwu = (wu_hi - wu_lo) / Wi
+        dwv = (wv_hi - wv_lo) / Hi
+
+        # Sweep kernel rect height (analytic on the uniform grid).
+        span_v = 8.0 * dwv * Sv * t_max
+        R_sweep = None
+        for cand in (16, 24, 32, 48):
+            if span_v <= cand - 10:
+                R_sweep = cand
+                break
+        if R_sweep is None:
+            continue
+
+        # Single-pass warp rect height from per-tile pixel→grid spans.
+        span_gx = st["span_wu"] / dwu
+        span_gy = st["span_wv"] / dwv
+        R_warp = None
+        if span_gx <= _wp.RECT_W - 132:
+            for cand in (16, 24, 32, 48, 64, 96, 128, 192):
+                if span_gy <= cand - 10:
+                    R_warp = cand
+                    break
+
+        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
+                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
+                    RECT_A=None, RECT_B=None, hcoef=None)
+        # Two-pass projective warp (render/plan.py): available when the
+        # caller provided the host-analytic view stats (span_wv_t) and the
+        # homography passes feasibility; preferred over single-pass.
+        if uniforms is not None and "span_wv_t" in st:
+            from . import plan as plan_mod
+
+            tp = plan_mod.two_pass_warp_plan(uniforms, p_axis, height,
+                                             width, plan, st)
+            if tp is not None:
+                plan.update(tp)
+        if plan["RECT_A"] is not None or R_warp is not None:
+            return plan
+        if f >= 2.0:
+            # Last tier: the Pallas sweep is feasible by construction
+            # (Hi >= Hi_k, Wi >= Wi_k bound the per-tile footprints), so
+            # keep it and warp via XLA gather (~4 taps/pixel) — an order of
+            # magnitude cheaper than abandoning the grid pipeline. Happens
+            # in the near-45°-azimuth band where the warp homography's
+            # horizon enters the image and both Pallas warps degenerate.
+            plan["warp_xla"] = True
+            return plan
+    return None
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
-                     "test", "n_slabs", "interpret", "sgn_p"),
+                     "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
+                     "RECT_A", "RECT_B"),
 )
 def _frame_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup,
     uniforms: FrameUniforms, proj_view_model, grid_params, grad_t=None,
+    hcoef=None,
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
-    interpret=False,
+    interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -885,6 +1008,7 @@ def _frame_jit(
         p_axis=p_axis, R=R_sweep, ert=ert, test=test,
         count_samples=test == Test.NUM_TEXTURE_SAMPLES,
         n_slabs=n_slabs, interpret=interpret,
+        separable=True, dist_leap=dist_leap,
     )
 
     # Pixel → grid coordinates from the pixel rays.
@@ -910,7 +1034,37 @@ def _frame_jit(
         chans = jnp.stack([
             grid_out.color[..., 0], grid_out.color[..., 3], grid_out.depth,
         ])
-    if interpret:
+    if RECT_A is not None and hcoef is not None:
+        # Two-pass projective warp (see warp_pallas.warp_two_pass): the
+        # pixel→grid map is an exact homography, so the resample factors
+        # into two row-aligned 1-D rational passes.
+        from . import warp_pallas
+
+        au, bu, cu_ = hcoef[0], hcoef[1], hcoef[2]
+        av, bv, cv_ = hcoef[3], hcoef[4], hcoef[5]
+        ap, bp_, cp_ = hcoef[6], hcoef[7], hcoef[8]
+        ygi = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 0).astype(f)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 1).astype(f)
+        wv_t = wv0 + (ygi + 0.5) * dwv
+        den = av - wv_t * ap
+        den = jnp.where(jnp.abs(den) < 1e-20,
+                        jnp.where(den < 0, -1e-20, 1e-20), den)
+        ihat = (wv_t * (bp_ * jj + cp_) - (bv * jj + cv_)) / den
+        dd = ap * ihat + bp_ * jj + cp_
+        dd = jnp.where(jnp.abs(dd) < 1e-20,
+                       jnp.where(dd < 0, -1e-20, 1e-20), dd)
+        wu_a = (au * ihat + bu * jj + cu_) / dd
+        xa = (wu_a - wu0) / dwu - 0.5
+        Hp = -(-H // 128) * 128
+        gy_t = jnp.pad(jnp.swapaxes(gy, 0, 1), ((0, 0), (0, Hp - H)),
+                       constant_values=-10.0)
+        warped_p = warp_pallas.warp_two_pass(
+            chans, xa, gy_t, RECT_A=RECT_A, RECT_B=RECT_B,
+            interpret=interpret)
+        warped = warped_p[:, :H, :]
+    elif interpret or R_warp is None:
+        # XLA-gather warp: interpret/test mode, or the last-tier plan for
+        # views where both Pallas warps degenerate (see plan_from_stats).
         warped = _warp_reference(chans, gx, gy)
     else:
         from . import warp_pallas
@@ -955,6 +1109,7 @@ def render_frame(
     test: Test = Test.NONE,
     oversample: float = 1.0,
     interpret: bool = False,
+    dist_leap: bool = False,
 ) -> RenderOutput:
     """General-camera production path: plan on the host (tiny, subsampled),
     then run the fused w-grid sweep + warp jit (see _frame_jit)."""
@@ -969,12 +1124,16 @@ def render_frame(
     grid_params = jnp.asarray(
         [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]], jnp.float32
     )
+    hcoef = (jnp.asarray(plan["hcoef"], jnp.float32)
+             if plan.get("hcoef") is not None else None)
     return _frame_jit(
         vol_t, occupancy_t, tf, rays, uniforms, proj_view_model, grid_params,
-        grad_t,
+        grad_t, hcoef,
         p_axis=p_axis, Hi=plan["Hi"], Wi=plan["Wi"],
         R_sweep=plan["R_sweep"], R_warp=plan["R_warp"], ert=ert, test=test,
         n_slabs=n_slabs, sgn_p=plan["sgn_p"], interpret=interpret,
+        dist_leap=dist_leap,
+        RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
     )
 
 

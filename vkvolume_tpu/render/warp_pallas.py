@@ -146,6 +146,149 @@ def warp_to_pixels(src_chw: jax.Array, gx: jax.Array, gy: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Two-pass projective warp.
+#
+# The pixel→grid map is an exact homography (the unnormalized texture-space
+# ray direction is affine in the pixel coordinates, so gx and gy are ratios
+# of affine functions with a shared denominator — see render/plan.py). A
+# homography factors into two 1-D rational resamples (Catmull & Smith 1980):
+#
+#   pass A:  T(yg, j)  = G(yg, XA(yg, j)),  XA = gx(Î(yg, j), j)
+#            where Î solves gy(Î, j) = yg  (closed-form Möbius)
+#   pass B:  out(i, j) = T(gy(i, j), j)
+#
+# Each pass is ROW-ALIGNED: the source rows needed by an output tile are
+# exactly the tile's own rows (pass A), or — after transposing T — again the
+# tile's own rows (pass B). Only the lane (column) window is dynamic, so one
+# (8, RECT) DMA + a couple of lane gathers replace the single-pass warp's
+# R×(2×RECT/128) gather loop: ~8 vs ~1920 gathers per channel per tile at a
+# 30° view rotation.
+# ---------------------------------------------------------------------------
+
+
+def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
+                     *, RECT, C):
+    """out[c, y, x] = lerp(src[c, y, pos[y, x]]) for one 8×128 tile; the
+    source rows are the tile's own rows (row-aligned 1-D resample).
+    pos < -5 marks masked pixels → 0."""
+    f = jnp.float32
+    Ws = meta_ref[0]
+    ty = pl.program_id(0)
+
+    pos = pos_ref[:]
+    inside = pos > -5.0
+    any_in = jnp.any(inside)
+
+    posc = jnp.clip(pos, 0.0, Ws.astype(f) - 1.0)
+    big = f(1e30)
+    p_min = jnp.min(jnp.where(inside, posc, big))
+    u0 = jnp.floor(p_min).astype(jnp.int32)
+    u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Ws - RECT, 0))
+    u0a = pl.multiple_of(u0a, 128)
+
+    @pl.when(any_in)
+    def _():
+        dma = pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(ty * TILE_H, TILE_H), pl.ds(u0a, RECT)],
+            scratch, sem,
+        )
+        dma.start()
+        dma.wait()
+
+    iu0 = jnp.floor(posc).astype(jnp.int32)
+    fu = jnp.clip(posc - jnp.floor(posc), 0.0, 1.0)
+    il0 = jnp.clip(iu0 - u0a, 0, RECT - 1)
+    il1 = jnp.clip(iu0 + 1 - u0a, 0, RECT - 1)
+
+    def u_tap(halves, il):
+        g = jnp.take_along_axis(halves[0], jnp.minimum(il, 127), axis=1)
+        for h in range(1, RECT // 128):
+            g = jnp.where(
+                il < 128 * h, g,
+                jnp.take_along_axis(halves[h],
+                                    jnp.clip(il - 128 * h, 0, 127), axis=1),
+            )
+        return g
+
+    for c in range(C):
+        rows = scratch[c, :, :]                      # (8, RECT)
+        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                       for h in range(RECT // 128))
+        g0 = u_tap(halves, il0)
+        g1 = u_tap(halves, il1)
+        val = g0 + (g1 - g0) * fu
+        out_ref[c, :, :] = jnp.where(inside, val, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("RECT",))
+def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512
+                  ) -> jax.Array:
+    """Row-aligned 1-D resample: out[c, y, x] = lerp(src[c, y, pos[y, x]]).
+
+    ``pos`` is (Ho, Wo) with Ho == src rows; Ho % 8 == 0, Wo % 128 == 0.
+    pos < -5 → 0 (mask). Per-tile column span must fit RECT - 132."""
+    C, Hs, Ws = src_chw.shape
+    Ho, Wo = pos.shape
+    assert Ho == Hs, (Ho, Hs)
+    meta = jnp.asarray([Ws], jnp.int32)
+    kern = functools.partial(_resample_kernel, RECT=RECT, C=C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ho // TILE_H, Wo // TILE_W),
+        in_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, TILE_H, TILE_W),
+                               lambda ty, tx, *_: (0, ty, tx)),
+        scratch_shapes=[
+            pltpu.VMEM((C, TILE_H, RECT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, Ho, Wo), jnp.float32),
+        grid_spec=grid_spec,
+    )(meta, pos, src_chw)
+
+
+def _resample_rows_reference(src_chw, pos):
+    """XLA twin of resample_rows (interpret/test mode)."""
+    C, Hs, Ws = src_chw.shape
+    posc = jnp.clip(pos, 0.0, Ws - 1.0)
+    x0 = jnp.floor(posc).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, Ws - 1)
+    fx = posc - jnp.floor(posc)
+    r = jnp.arange(Hs)[:, None]
+    out = []
+    for c in range(C):
+        g0 = src_chw[c][r, x0]
+        g1 = src_chw[c][r, x1]
+        out.append(g0 + (g1 - g0) * fx)
+    res = jnp.stack(out)
+    return jnp.where((pos > -5.0)[None], res, 0.0)
+
+
+def warp_two_pass(chans: jax.Array, xa: jax.Array, gy_t: jax.Array,
+                  *, RECT_A: int, RECT_B: int,
+                  interpret: bool = False) -> jax.Array:
+    """Projective warp via two row-aligned resamples + transposes.
+
+    chans: (C, Hi, Wi) grid image; xa: (Hi, W) pass-A positions;
+    gy_t: (W, Hp) transposed pass-B positions (Hp = H padded to %128).
+    Returns (C, Hp, W) — caller crops rows to H.
+    """
+    if interpret:
+        t = _resample_rows_reference(chans, xa)
+        out_t = _resample_rows_reference(jnp.swapaxes(t, 1, 2), gy_t)
+    else:
+        t = resample_rows(chans, xa, RECT=RECT_A)          # (C, Hi, W)
+        out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B)
+    return jnp.swapaxes(out_t, 1, 2)                       # (C, Hp, W)
+
+
 def required_R(gx, gy, interpret_ok: bool = True) -> int | None:
     """Smallest supported rect height for this pixel→grid map (per-tile row
     span + alignment + tent margin), or None if no candidate fits."""
