@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Round-2 benchmark artifact: the FULL reference protocol at full scale.
+
+All 6 dataset/TF configs × skipmodes {0,1,2,3} × block sizes {2..6}
+(skipmode 0 runs one block size, like scripts/benchmark.py:71), 1200×1200,
+ERT off, NumTextureSamples output, fit-to-viewport — writes
+docs/benchmarks_r2/benchmark_results_{0..3}.csv in the reference CSV schema
+(scripts/benchmark.py:66-93).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vkvolume_tpu.bench.harness import run_sweep
+
+
+def main():
+    out_dir = os.environ.get("OUT_DIR", "docs/benchmarks_r2")
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[{time.time() - t0:8.1f}s] {msg}", flush=True)
+
+    run_sweep(
+        width=int(os.environ.get("SWEEP_W", "1200")),
+        height=int(os.environ.get("SWEEP_H", "1200")),
+        frames=int(os.environ.get("SWEEP_FRAMES", "10")),
+        scale=float(os.environ.get("SWEEP_SCALE", "1.0")),
+        out_prefix=os.path.join(out_dir, "benchmark_results"),
+        log=log,
+    )
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -228,3 +228,19 @@ def test_accel_cache_roundtrip(tmp_path):
     v3 = from_array(vol, opts3, block_size=4)
     stats3 = eng3.add_volume(v3)
     assert stats3.map_update_ms is not None
+
+
+@pytest.mark.parametrize("renderer", ["marcher", "sweep"])
+def test_texture_tf_matches_closed_form(renderer):
+    """TRANSFER_FUNCTION_TEXTURE variant (transfer_function.glsl:36-38):
+    the baked 256x256 texture agrees with the closed form up to the bake's
+    u8 truncation + 256-bin nearest lookup (volume_component.cpp:246-261)."""
+    eng, _, _ = _engine(renderer)
+    out_c = eng.render(CAM, 32, 32)
+    eng.options.texture_tf = True
+    out_t = eng.render(CAM, 32, 32)
+    a = np.asarray(out_c.color)
+    b = np.asarray(out_t.color)
+    assert np.abs(a - b).max() < 0.06
+    assert np.abs(a - b).mean() < 5e-3
+    assert not np.array_equal(a, b)  # the quantised path really ran

@@ -69,3 +69,53 @@ def test_mesh_size_validation():
             jnp.asarray(s["bs"]), s["pvm"],
             skipping_type=SkippingType.BLOCK,
         )
+
+
+def test_sharded_render_frame_matches_single_device():
+    """The production path (w-grid sweep + warp) over the 8-device mesh:
+    grid rows sharded for the sweep, one all_gather, image rows sharded for
+    the warp — must reproduce the single-device render_frame exactly."""
+    from vkvolume_tpu.accel import occupancy_map
+    from vkvolume_tpu.camera import orbit_camera
+    from vkvolume_tpu.parallel import render_frame_sharded
+    from vkvolume_tpu.render import make_rays, make_uniforms
+    from vkvolume_tpu.render import sweep as sweep_mod
+    from vkvolume_tpu.render.sweep_pallas import render_frame
+    from vkvolume_tpu.tf import tf_params
+    from vkvolume_tpu.utils import math3d
+
+    vol = sphere_shell_volume(40)
+    tf = tf_params(intensity_min=0.1, gradient_min=0.0, gradient_max=0.0)
+    n = 40
+    node = math3d.scale((100.0 / n,) * 3)
+    img_t = math3d.scale((float(n),) * 3)
+    H, W = 64, 128
+    cam = orbit_camera(radius=150.0, azimuth_deg=25, elevation_deg=15,
+                       aspect=W / H)
+    u = make_uniforms(cam, node, img_t, 50.0, (4.0, 4.0, 4.0))
+    rays = make_rays(u, H, W)
+    m = -(-n // 4)
+    occ = occupancy_map(jnp.asarray(vol), None, tf, (m, m, m))
+    dist = isotropic_distance(occ)
+    pvm = jnp.asarray(
+        (cam.proj.astype(np.float64) @ cam.view.astype(np.float64)
+         @ (node @ img_t).astype(np.float64)).astype(np.float32))
+    p = sweep_mod.principal_axis(rays)
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    dist_t = sweep_mod.transpose_for_axis(dist, p)
+
+    single = render_frame(vol_t, dist_t, tf, rays, u, pvm, p_axis=p,
+                          ert=True, interpret=True, dist_leap=True)
+    mesh = make_mesh(8)
+    sharded = render_frame_sharded(
+        mesh, vol_t, dist_t, tf, rays, u, pvm, p_axis=p, ert=True,
+        interpret=True, dist_leap=True)
+    assert np.asarray(single.color)[..., 3].max() > 0.3   # non-trivial
+    # ~1e-6-level drift from per-device reduction order in the sweep's
+    # f32 ray setup; far below the u8 resample tolerance.
+    np.testing.assert_allclose(np.asarray(sharded.color),
+                               np.asarray(single.color), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.depth),
+                               np.asarray(single.depth), atol=1e-4)
+    shard_devs = {sh.device for sh in sharded.color.addressable_shards}
+    assert len(shard_devs) == 8

@@ -307,3 +307,32 @@ def test_first_hit_depth_written():
     assert hit.any()
     assert (depth[hit] > 0.0).all()
     assert (depth[~valid] == 0.0).all()
+
+
+def test_pad_viewport_ray_parity():
+    """camera.pad_viewport: the padded viewport's top-left window produces
+    pixel-identical rays (up to f32 rounding) — the engine relies on this to
+    run the tile-aligned Pallas pipeline on arbitrary image sizes."""
+    import numpy as np
+
+    from vkvolume_tpu.camera import orbit_camera, pad_viewport
+    from vkvolume_tpu.render import make_rays, make_uniforms
+    from vkvolume_tpu.utils import math3d
+
+    H, W, Hp, Wp = 50, 100, 56, 128
+    cam = orbit_camera(radius=150.0, azimuth_deg=25, elevation_deg=15,
+                       aspect=W / H)
+    cam2 = pad_viewport(cam, W, H, Wp, Hp)
+    node = math3d.scale((100.0 / 40,) * 3)
+    img_t = math3d.scale((40.0,) * 3)
+    u1 = make_uniforms(cam, node, img_t, 50.0, (4.0, 4.0, 4.0))
+    u2 = make_uniforms(cam2, node, img_t, 50.0, (4.0, 4.0, 4.0))
+    r1 = make_rays(u1, H, W)
+    r2 = make_rays(u2, Hp, Wp)
+    m = np.asarray(r1.valid)
+    assert m.any()
+    np.testing.assert_array_equal(m, np.asarray(r2.valid)[:H, :W])
+    for name in ("entry", "exit", "ray_dir"):
+        a = np.asarray(getattr(r1, name))
+        b = np.asarray(getattr(r2, name))[:H, :W]
+        assert np.abs(np.where(m[..., None], a - b, 0.0)).max() < 1e-5

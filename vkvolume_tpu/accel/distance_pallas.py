@@ -1,16 +1,31 @@
-"""Chebyshev distance-transform relaxation — Pallas TPU kernel.
+"""Chebyshev distance transform — Pallas TPU kernels (the fast path).
 
-Same exact semantics as ``distance.relax`` (the zig-zag passes of
-shaders/distance_map.comp:72-107 / distance_map_anisotropic.comp:55-91), but
-with the early exit at **block granularity** instead of the whole map: each
-kernel instance owns a (L, 128) block of lines in VMEM and iterates the
-shift distance n only while ``n < max(block)`` — the same adaptive cost
-profile as the reference's per-line ``n < D`` exits (total work ~ sum of
-per-block maxima rather than global-max × cells).
+Same exact semantics as ``distance.axis_scan`` + ``distance.relax`` (the
+3-pass GPU transform of shaders/distance_map.comp:44-109 /
+distance_map_anisotropic.comp:31-92, host schedule
+src/compute_distance_map.cpp:142-290), restructured for the TPU memory
+hierarchy:
 
-Lines are laid out with the relax axis on sublanes and 128 independent
-lines on lanes; shifted candidates are produced with ``pltpu.roll`` plus an
-edge mask (roll wraps; wrapped rows are masked to the neutral 255).
+* **Kernel A** (``_scan_relax_kernel``): grid over z-slabs; each instance
+  holds a (TZ, Yp, Xp) brick in VMEM, computes the x-line scan *in-VMEM*
+  (prefix/suffix min via log₂ lane-roll doubling — the closed form of the
+  forward+backward scan, distance.py:47-72) and then the y zig-zag
+  relaxation as a shift loop with a **per-brick early exit**
+  (``n < max(brick)`` — the same bound the reference's per-line ``n < D``
+  exit uses, so results are identical). One HBM read + write for two of the
+  three passes, vs. one read/write *per shift distance* in the XLA
+  formulation.
+* **Kernel B** (``_relax_kernel``): the z relaxation, run on a (Y, Z, X)
+  transpose so lines lie on sublanes (traced-shift ``pltpu.roll`` along
+  sublanes is well supported; axis-0 rolls are not).
+* Both kernels can emit the +1/−1 directional variants **in one pass**
+  (shared input brick), which collapses the anisotropic 14-dispatch
+  schedule (compute_distance_map.cpp:229-252) to 2×A + 4×B launches.
+
+Exactness: padded cells hold 255 (EMPTY); a padded candidate contributes
+``min(occ_pad + d, 255 + d)`` ≥ 256 in the scan and ``max(n, 255) = 255`` in
+the relaxation — neither can beat the in-range n=0 candidate (≤ 255), so
+padding never changes a logical cell (same argument as distance.py:82-85).
 """
 
 from __future__ import annotations
@@ -22,112 +37,251 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .distance import axis_scan
+_CHUNK = 8          # shift distances per while-loop iteration
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _relax_kernel(d_ref, out_ref, *, L, direction):
-    D = d_ref[0].astype(jnp.int32)          # (L, 128)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 0)
+def _suffix_min(v, L, Lp, axis):
+    """m[x] = min_{x <= x' < Lp} v[x'] via log-step doubling rolls."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    big = jnp.int32(1 << 20)
+    s = 1
+    while s < Lp:
+        cand = pltpu.roll(v, Lp - s, axis)          # cand[x] = v[x + s]
+        v = jnp.minimum(v, jnp.where(idx < Lp - s, cand, big))
+        s *= 2
+    return v
+
+
+def _prefix_min(v, L, Lp, axis):
+    """m[x] = min_{0 <= x' <= x} v[x']."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    big = jnp.int32(1 << 20)
+    s = 1
+    while s < Lp:
+        cand = pltpu.roll(v, s, axis)               # cand[x] = v[x - s]
+        v = jnp.minimum(v, jnp.where(idx >= s, cand, big))
+        s *= 2
+    return v
+
+
+def _x_scan_vmem(occ, Xp, scan_dir):
+    """In-VMEM x-line distance scan (closed form of distance.py:47-72):
+    g[x] = min_{x'} (occ[x'] + |x - x'|), one-sided when scan_dir = ±1."""
+    ix = jax.lax.broadcasted_iota(jnp.int32, occ.shape, occ.ndim - 1)
+    g = None
+    if scan_dir >= 0:
+        fwd = _suffix_min(occ + ix, Xp, Xp, occ.ndim - 1) - ix
+        g = fwd
+    if scan_dir <= 0:
+        bwd = _prefix_min(occ - ix, Xp, Xp, occ.ndim - 1) + ix
+        g = bwd if g is None else jnp.minimum(g, bwd)
+    return g
+
+
+def _relax_vmem(D, Lp, axis, directions):
+    """Zig-zag relaxation A[y] = min_n max(n, D[y ± n]) over a VMEM brick,
+    early-exiting once n >= max(A) (no candidate max(n, ·) >= n can improve).
+    ``directions``: tuple of +1 / -1 senses to produce (shared D pass).
+
+    The shifted candidates are carried **incrementally**: U/V hold D rolled
+    by the current n and advance by a roll of 1 per iteration — every roll
+    has a *static* shift, which Mosaic lowers to fixed vreg moves (a traced
+    shift per n measured ~10× slower)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, D.shape, axis)
+    n255 = jnp.int32(255)
+    two_sided = directions == (0,)
+    n_dirs = 1 if two_sided else len(directions)
+    need_up = two_sided or (+1 in directions)
+    need_dn = two_sided or (-1 in directions)
 
     def cond(state):
-        n, A = state
-        return jnp.logical_and(n < L, n < jnp.max(A))
+        n = state[0]
+        bound = jnp.max(state[3])
+        for A in state[4:]:
+            bound = jnp.maximum(bound, jnp.max(A))
+        return jnp.logical_and(n < Lp, n < bound)
 
     def body(state):
-        n, A = state
-        if direction >= 0:
-            # roll is circular: a backward shift of n == forward by L - n
-            # (negative traced shifts are rejected by the compiler).
-            up = pltpu.roll(D, L - n, 0)    # up[y] = D[y + n] (wraps)
-            up = jnp.where(rows < L - n, up, 255)
-            A = jnp.minimum(A, jnp.maximum(n, up))
-        if direction <= 0:
-            dn = pltpu.roll(D, n, 0)        # dn[y] = D[y - n] (wraps)
-            dn = jnp.where(rows >= n, dn, 255)
-            A = jnp.minimum(A, jnp.maximum(n, dn))
-        return n + 1, A
+        n, U, V = state[0], state[1], state[2]
+        As = list(state[3:])
+        for j in range(_CHUNK):
+            nj = n + j
+            nj_ok = nj < Lp
+            up = dn = None
+            if need_up:
+                U = pltpu.roll(U, Lp - 1, axis)      # U[y] = D[y + nj]
+                up = jnp.where(iy < Lp - nj, U, n255)
+            if need_dn:
+                V = pltpu.roll(V, 1, axis)           # V[y] = D[y - nj]
+                dn = jnp.where(iy >= nj, V, n255)
+            if two_sided:
+                cands = [jnp.minimum(up, dn)]
+            else:
+                cands = [up if d == +1 else dn for d in directions]
+            As = [jnp.where(nj_ok, jnp.minimum(A, jnp.maximum(nj, c)), A)
+                  for A, c in zip(As, cands)]
+        return (n + _CHUNK, U, V, *As)
 
-    _, A = jax.lax.while_loop(cond, body, (jnp.int32(1), D))
-    out_ref[0] = A.astype(jnp.uint8)
+    state = (jnp.int32(1), D, D, *([D] * n_dirs))
+    state = jax.lax.while_loop(cond, body, state)
+    return list(state[3:])
 
 
-def _to_blocks(D: jax.Array, axis: int):
-    """(Z, Y, X) → (n_blocks, Lp, 128) with the relax axis on sublanes.
+def _scan_relax_kernel(occ_ref, *out_refs, Yp, Xp, scan_dir, relax_dirs):
+    occ = occ_ref[...].astype(jnp.int32)
+    g = _x_scan_vmem(occ, Xp, scan_dir)
+    g = jnp.minimum(g, jnp.int32(255))
+    As = _relax_vmem(g, Yp, occ.ndim - 2, relax_dirs)
+    for ref, A in zip(out_refs, As):
+        ref[...] = A.astype(jnp.uint8)
 
-    The line length is padded to a sublane multiple with the neutral 255
-    (a padded candidate is max(n, 255) and never wins)."""
-    Z, Y, X = D.shape
+
+def _relax_kernel(d_ref, *out_refs, Lp, relax_dirs, axis=None):
+    D = d_ref[...].astype(jnp.int32)
+    ax = D.ndim - 2 if axis is None else axis
+    As = _relax_vmem(D, Lp, ax, relax_dirs)
+    for ref, A in zip(out_refs, As):
+        ref[...] = A.astype(jnp.uint8)
+
+
+def _pad_to(a, shape):
+    return jnp.pad(a, [(0, p - s) for s, p in zip(a.shape, shape)],
+                   constant_values=jnp.uint8(255))
+
+
+def _brick_rows(Yp, Xp, n_bufs):
+    per_row = Yp * Xp * 4 * (n_bufs + 2)  # D, A(s), roll temporaries
+    tz = max(1, _VMEM_BUDGET // per_row)
+    return min(8, 1 << (tz.bit_length() - 1))
+
+
+def scan_and_relax(occ_u8: jax.Array, scan_dir: int, relax_dirs: tuple,
+                   interpret: bool = False):
+    """x-line scan + y relaxation in one Pallas pass.
+
+    Returns one (Z, Y, X) uint8 array per entry of ``relax_dirs``
+    (``(0,)`` = two-sided isotropic, else any subset of (+1, -1))."""
+    Z, Y, X = occ_u8.shape
+    Yp = -(-Y // 8) * 8
     Xp = -(-X // 128) * 128
-    L = Y if axis == 1 else Z
-    Lp = -(-L // 8) * 8
-    pad = [(0, 0), (0, 0), (0, Xp - X)]
-    pad[axis] = (0, Lp - L)
-    Dp = jnp.pad(D, pad, constant_values=255)
-    xb = Xp // 128
-    if axis == 1:       # relax along Y
-        t = Dp.reshape(Z, Lp, xb, 128).transpose(0, 2, 1, 3)
-        return t.reshape(Z * xb, Lp, 128), (Z, Y, X, xb)
-    else:               # relax along Z
-        t = Dp.reshape(Lp, Y, xb, 128).transpose(1, 2, 0, 3)
-        return t.reshape(Y * xb, Lp, 128), (Z, Y, X, xb)
-
-
-def _from_blocks(B: jax.Array, axis: int, dims):
-    Z, Y, X, xb = dims
-    Lp = B.shape[1]
-    if axis == 1:
-        t = B.reshape(Z, xb, Lp, 128).transpose(0, 2, 1, 3)
-        return t.reshape(Z, Lp, xb * 128)[:, :Y, :X]
-    t = B.reshape(Y, xb, Lp, 128).transpose(2, 0, 1, 3)
-    return t.reshape(Lp, Y, xb * 128)[:Z, :, :X]
-
-
-@functools.partial(jax.jit, static_argnames=("axis", "direction", "interpret"))
-def relax_pallas(D: jax.Array, axis: int, direction: int = 0,
-                 interpret: bool = False) -> jax.Array:
-    """Exact drop-in for distance.relax (uint8 in/out) on axes 0/1."""
-    blocks, dims = _to_blocks(D.astype(jnp.uint8), axis)
-    nb, L, _ = blocks.shape
-    kern = functools.partial(_relax_kernel, L=L, direction=direction)
-    out = pl.pallas_call(
+    tz = _brick_rows(Yp, Xp, len(relax_dirs))
+    Zp = -(-Z // tz) * tz
+    occ_p = _pad_to(occ_u8, (Zp, Yp, Xp))
+    n_out = len(relax_dirs)
+    kern = functools.partial(_scan_relax_kernel, Yp=Yp, Xp=Xp,
+                             scan_dir=scan_dir, relax_dirs=tuple(relax_dirs))
+    outs = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(blocks.shape, jnp.uint8),
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, L, 128), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, L, 128), lambda b: (b, 0, 0)),
+        out_shape=[jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.uint8)] * n_out,
+        grid=(Zp // tz,),
+        in_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))] * n_out,
         interpret=interpret,
-    )(blocks)
-    return _from_blocks(out, axis, dims)
+    )(occ_p)
+    outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    return [o[:Z, :Y, :X] for o in outs]
+
+
+def relax_z_direct(d_u8: jax.Array, relax_dirs: tuple,
+                   interpret: bool = False):
+    """z relaxation with lines on the *leading* axis (no transposes):
+    bricks are (Z, ty, Xp) and the incremental rolls run along axis 0
+    (whole-vreg moves — cheap and static)."""
+    Z, Y, X = d_u8.shape
+    Zp = -(-Z // 8) * 8
+    Xp = -(-X // 128) * 128
+    ty = _brick_rows(Zp, Xp, len(relax_dirs))
+    Ypad = -(-Y // ty) * ty
+    t = _pad_to(d_u8, (Zp, Ypad, Xp))
+    n_out = len(relax_dirs)
+    kern = functools.partial(_relax_kernel, Lp=Zp, axis=0,
+                             relax_dirs=tuple(relax_dirs))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((Zp, Ypad, Xp), jnp.uint8)] * n_out,
+        grid=(Ypad // ty,),
+        in_specs=[pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))],
+        out_specs=[pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))] * n_out,
+        interpret=interpret,
+    )(t)
+    outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    return [o[:Z, :Y, :X] for o in outs]
+
+
+def relax_z(d_u8: jax.Array, relax_dirs: tuple, interpret: bool = False):
+    """z relaxation via a (Y, Z, X) transpose so lines lie on sublanes."""
+    Z, Y, X = d_u8.shape
+    t = d_u8.transpose(1, 0, 2)                      # (Y, Z, X)
+    Zp = -(-Z // 8) * 8
+    Xp = -(-X // 128) * 128
+    ty = _brick_rows(Zp, Xp, len(relax_dirs))
+    Ypad = -(-Y // ty) * ty
+    t = _pad_to(t, (Ypad, Zp, Xp))
+    n_out = len(relax_dirs)
+    kern = functools.partial(_relax_kernel, Lp=Zp,
+                             relax_dirs=tuple(relax_dirs))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((Ypad, Zp, Xp), jnp.uint8)] * n_out,
+        grid=(Ypad // ty,),
+        in_specs=[pl.BlockSpec((ty, Zp, Xp), lambda b: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((ty, Zp, Xp), lambda b: (b, 0, 0))] * n_out,
+        interpret=interpret,
+    )(t)
+    outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    return [o[:Y, :Z, :X].transpose(1, 0, 2) for o in outs]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def isotropic_distance_pallas(occ_u8: jax.Array,
                               interpret: bool = False) -> jax.Array:
-    """Isotropic Chebyshev distance map (x-scan + Pallas y/z relaxations)."""
-    g = axis_scan(occ_u8, axis=2, direction=0).astype(jnp.uint8)
-    g = relax_pallas(g, axis=1, direction=0, interpret=interpret)
-    g = relax_pallas(g, axis=0, direction=0, interpret=interpret)
-    return g
+    """Isotropic Chebyshev distance map — exact twin of
+    ``distance.isotropic_distance`` (x-scan, y-relax, z-relax)."""
+    g = scan_and_relax(occ_u8, scan_dir=0, relax_dirs=(0,),
+                       interpret=interpret)[0]
+    return relax_z_direct(g, relax_dirs=(0,), interpret=interpret)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def anisotropic_distance_pallas(occ_u8: jax.Array,
                                 interpret: bool = False) -> jax.Array:
-    """8 octant maps with the shared 14-pass schedule, Pallas relaxations."""
-    x_scans = {}
-    xy = {}
-    maps = []
-    for idx in range(8):
-        sx = -1 if (idx & 4) else +1
-        sy = -1 if (idx & 2) else +1
-        sz = -1 if (idx & 1) else +1
-        if sx not in x_scans:
-            x_scans[sx] = axis_scan(occ_u8, axis=2, direction=sx).astype(
-                jnp.uint8
-            )
-        if (sx, sy) not in xy:
-            xy[(sx, sy)] = relax_pallas(x_scans[sx], axis=1, direction=sy,
-                                        interpret=interpret)
-        maps.append(relax_pallas(xy[(sx, sy)], axis=0, direction=sz,
-                                 interpret=interpret))
+    """All 8 octant maps, (8, Z, Y, X) uint8 — exact twin of
+    ``distance.anisotropic_distance`` with the 14-pass shared schedule
+    collapsed to 2 scan+y-relax launches and 4 dual-output z launches."""
+    maps = [None] * 8
+    for sx in (+1, -1):
+        ys = scan_and_relax(occ_u8, scan_dir=sx, relax_dirs=(+1, -1),
+                            interpret=interpret)
+        for sy, xy in zip((+1, -1), ys):
+            zs = relax_z_direct(xy, relax_dirs=(+1, -1), interpret=interpret)
+            for sz, m in zip((+1, -1), zs):
+                idx = ((sx < 0) << 2) | ((sy < 0) << 1) | (sz < 0)
+                maps[idx] = m
     return jnp.stack(maps)
+
+
+# Back-compat exact drop-in used by round-1 tests/benches.
+@functools.partial(jax.jit, static_argnames=("axis", "direction", "interpret"))
+def relax_pallas(D: jax.Array, axis: int, direction: int = 0,
+                 interpret: bool = False) -> jax.Array:
+    """Exact drop-in for ``distance.relax`` (uint8 in/out) on axes 0/1."""
+    dirs = (0,) if direction == 0 else (direction,)
+    if axis == 1:
+        Z, Y, X = D.shape
+        Yp = -(-Y // 8) * 8
+        Xp = -(-X // 128) * 128
+        tz = _brick_rows(Yp, Xp, len(dirs))
+        Zp = -(-Z // tz) * tz
+        Dp = _pad_to(D.astype(jnp.uint8), (Zp, Yp, Xp))
+        kern = functools.partial(_relax_kernel, Lp=Yp, relax_dirs=dirs)
+        out = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.uint8)],
+            grid=(Zp // tz,),
+            in_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))],
+            out_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))],
+            interpret=interpret,
+        )(Dp)[0]
+        return out[:Z, :Y, :X]
+    return relax_z(D.astype(jnp.uint8), dirs, interpret=interpret)[0]

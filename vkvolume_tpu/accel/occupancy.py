@@ -71,7 +71,90 @@ def voxel_alpha_positive(
     return (alpha_i > 0.0) & (alpha_g > 0.0)
 
 
+def alpha_positive_threshold(lo: float, inv: float) -> int | None:
+    """Smallest uint8 value v whose closed-form TF term is positive:
+    ``clip((f32(v) * (1/255) - lo) * inv, 0, 1) > 0``  — evaluated per u8
+    value with the IDENTICAL float32 arithmetic the device kernel uses, so
+    thresholded integer comparisons are bit-exact. Returns 256 when no value
+    is positive and None when the positive set is not of the form
+    ``{v : v >= T}`` (e.g. inverted ranges) — callers then use the general
+    float path."""
+    import numpy as np
+
+    v = np.arange(256, dtype=np.float32)
+    a = np.clip((v * np.float32(1.0 / 255.0) - np.float32(lo))
+                * np.float32(inv), np.float32(0.0), np.float32(1.0))
+    pos = a > 0.0
+    if not pos.any():
+        return 256
+    first = int(np.argmax(pos))
+    return first if bool(pos[first:].all()) else None
+
+
+def _tf_thresholds(tf: TFParams):
+    """(ti, tg) uint8 thresholds for the fast integer path, or None when the
+    TF params are traced (inside jit) or non-monotone."""
+    for leaf in (tf.intensity_min, tf.intensity_range_inv,
+                 tf.gradient_min, tf.gradient_range_inv):
+        if isinstance(leaf, jax.core.Tracer):
+            return None
+    ti = alpha_positive_threshold(float(tf.intensity_min),
+                                  float(tf.intensity_range_inv))
+    if ti is None:
+        return None
+    tg = 0
+    if tf.use_gradient:
+        tg = alpha_positive_threshold(float(tf.gradient_min),
+                                      float(tf.gradient_range_inv))
+        if tg is None:
+            return None
+    return ti, tg
+
+
+def _block_max_u8(a: jax.Array, map_shape_zyx) -> jax.Array:
+    """Separable per-block uint8 max (zero-padded; 0 is neutral for max)."""
+    mz, my, mx = map_shape_zyx
+    d, h, w = a.shape
+    bz, by, bx = (-(-d // mz), -(-h // my), -(-w // mx))
+    a = jnp.pad(a, ((0, mz * bz - d), (0, my * by - h), (0, mx * bx - w)))
+    a = a.reshape(mz, bz, my * by, mx * bx).max(axis=1)
+    a = a.reshape(mz, my, by, mx * bx).max(axis=2)
+    return a.reshape(mz, my, mx, bx).max(axis=3)
+
+
+@functools.partial(jax.jit, static_argnames=("map_shape_zyx", "ti", "tg"))
+def _occupancy_u8(volume_u8, gradient_u8, map_shape_zyx, ti: int, tg: int):
+    """Integer-domain occupancy: any(alpha>0) per block == thresholded
+    per-block max (max is monotone; the AND of two per-voxel window tests
+    needs the mask-then-max form)."""
+    if ti > 255 or tg > 255:
+        return jnp.full(map_shape_zyx, jnp.uint8(EMPTY))
+    if gradient_u8 is None:
+        occ = _block_max_u8(volume_u8, map_shape_zyx) >= jnp.uint8(ti)
+    else:
+        mask = ((volume_u8 >= jnp.uint8(ti))
+                & (gradient_u8 >= jnp.uint8(tg))).astype(jnp.uint8)
+        occ = _block_max_u8(mask, map_shape_zyx) >= jnp.uint8(1)
+    return jnp.where(occ, jnp.uint8(OCCUPIED), jnp.uint8(EMPTY))
+
+
 @functools.partial(jax.jit, static_argnames=("map_shape_zyx", "on_the_fly_gradient"))
+def _occupancy_general(
+    volume_u8: jax.Array,
+    gradient_u8: jax.Array | None,
+    tf: TFParams,
+    map_shape_zyx: tuple[int, int, int],
+    on_the_fly_gradient: bool = False,
+) -> jax.Array:
+    """General float path (traced TF params / non-monotone ranges)."""
+    if on_the_fly_gradient:
+        gradient_u8 = None
+    occ_bool = voxel_alpha_positive(volume_u8, gradient_u8, tf)
+    any_occ = _block_max_u8(occ_bool.astype(jnp.uint8),
+                            map_shape_zyx) >= jnp.uint8(1)
+    return jnp.where(any_occ, jnp.uint8(OCCUPIED), jnp.uint8(EMPTY))
+
+
 def occupancy_map(
     volume_u8: jax.Array,
     gradient_u8: jax.Array | None,
@@ -79,31 +162,50 @@ def occupancy_map(
     map_shape_zyx: tuple[int, int, int],
     on_the_fly_gradient: bool = False,
 ) -> jax.Array:
-    """uint8 occupancy map of shape ``map_shape_zyx``: OCCUPIED=0 / EMPTY=255."""
+    """uint8 occupancy map of shape ``map_shape_zyx``: OCCUPIED=0 / EMPTY=255.
+
+    Fast path: the closed-form ``alpha > 0`` test is monotone in the u8
+    intensity (and gradient), so the per-block ``any`` collapses to a
+    per-block u8 max + one integer comparison — a pure-integer streaming
+    reduction (no f32 blowup of the 10^8-voxel volume). The thresholds are
+    derived on the host with the same f32 arithmetic (bit-exact); traced TF
+    params fall back to the general float path."""
     if on_the_fly_gradient:
         gradient_u8 = None
-    occ_bool = voxel_alpha_positive(volume_u8, gradient_u8, tf)
-    mz, my, mx = map_shape_zyx
-    d, h, w = volume_u8.shape
-    bz, by, bx = (-(-d // mz), -(-h // my), -(-w // mx))
-    pad = ((0, mz * bz - d), (0, my * by - h), (0, mx * bx - w))
-    occ_bool = jnp.pad(occ_bool, pad, constant_values=False)
-    blocks = occ_bool.reshape(mz, bz, my, by, mx, bx)
-    any_occ = jnp.any(blocks, axis=(1, 3, 5))
-    return jnp.where(any_occ, jnp.uint8(OCCUPIED), jnp.uint8(EMPTY))
+    thr = _tf_thresholds(tf)
+    if thr is not None:
+        ti, tg = thr
+        if tf.use_gradient and gradient_u8 is None:
+            from .gradient import gradient_map
+
+            gradient_u8 = gradient_map(
+                volume_u8, tf.grad_magnitude_modifier, use_gradient=True
+            )
+        return _occupancy_u8(volume_u8,
+                             gradient_u8 if tf.use_gradient else None,
+                             map_shape_zyx, ti, tg)
+    return _occupancy_general(volume_u8, gradient_u8, tf, map_shape_zyx,
+                              on_the_fly_gradient=on_the_fly_gradient)
+
+
+@functools.partial(jax.jit, static_argnames=("ti", "tg"))
+def _count_u8(volume_u8, gradient_u8, ti: int, tg: int):
+    if ti > 255 or tg > 255:
+        return jnp.zeros((), jnp.int32)
+    occ = volume_u8 >= jnp.uint8(ti)
+    if gradient_u8 is not None:
+        occ &= gradient_u8 >= jnp.uint8(tg)
+    return jnp.sum(occ, dtype=jnp.int64 if jax.config.jax_enable_x64
+                   else jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("on_the_fly_gradient",))
-def occupied_voxel_count(
+def _count_general(
     volume_u8: jax.Array,
     gradient_u8: jax.Array | None,
     tf: TFParams,
     on_the_fly_gradient: bool = False,
 ) -> jax.Array:
-    """Total number of voxels with TF alpha > 0 (int64-free: counts fit int32
-    only up to 2^31; use uint64-equivalent via float64-free int summation in
-    two stages). Diagnostic printed as `Occupied voxels: X%`
-    (reference: src/volume_render.cpp:399-418)."""
     if on_the_fly_gradient:
         gradient_u8 = None
     occ = voxel_alpha_positive(volume_u8, gradient_u8, tf)
@@ -111,3 +213,29 @@ def occupied_voxel_count(
     # single slice is < 2^31; the final sum may exceed int32 for >2G voxels —
     # accumulate slices in float64-free int64 via jnp.sum dtype promotion.
     return jnp.sum(occ, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+
+
+def occupied_voxel_count(
+    volume_u8: jax.Array,
+    gradient_u8: jax.Array | None,
+    tf: TFParams,
+    on_the_fly_gradient: bool = False,
+) -> jax.Array:
+    """Total number of voxels with TF alpha > 0. Diagnostic printed as
+    `Occupied voxels: X%` (reference: src/volume_render.cpp:399-418).
+    Integer fast path under the same exactness argument as occupancy_map."""
+    if on_the_fly_gradient:
+        gradient_u8 = None
+    thr = _tf_thresholds(tf)
+    if thr is not None:
+        ti, tg = thr
+        if tf.use_gradient and gradient_u8 is None:
+            from .gradient import gradient_map
+
+            gradient_u8 = gradient_map(
+                volume_u8, tf.grad_magnitude_modifier, use_gradient=True
+            )
+        return _count_u8(volume_u8,
+                         gradient_u8 if tf.use_gradient else None, ti, tg)
+    return _count_general(volume_u8, gradient_u8, tf,
+                          on_the_fly_gradient=on_the_fly_gradient)

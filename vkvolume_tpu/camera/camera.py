@@ -100,3 +100,23 @@ def fit_distance(cube_half_extent: float, fovy_rad: float, aspect: float) -> flo
     half_fov = fovy_rad / 2.0
     min_half_fov = min(half_fov, np.arctan(np.tan(half_fov) * aspect))
     return float(cube_half_extent / np.tan(min_half_fov))
+
+
+def pad_viewport(cam: Camera, width: int, height: int,
+                 width_pad: int, height_pad: int) -> Camera:
+    """Camera whose (height_pad × width_pad) render produces pixel-identical
+    rays for the original (height × width) window in its top-left corner.
+
+    Pixel j of the padded image has ndc'_x = (j+0.5)·2/W' − 1 while the
+    original pixel has ndc_x = (j+0.5)·2/W − 1, i.e. ndc' = a·ndc + (a−1)
+    with a = W/W'. Remixing clip-space x (and y) with w as
+    x' = a·x + (a−1)·w makes the padded unprojection reproduce the original
+    rays exactly; depth (z, w rows) is untouched. Used by the engine to run
+    the tile-aligned Pallas pipeline on arbitrary image sizes (extra
+    rows/columns are rendered past the right/bottom edge and cropped)."""
+    ax = width / width_pad
+    ay = height / height_pad
+    p = cam.proj.astype(np.float64).copy()
+    p[0, :] = ax * p[0, :] + (ax - 1.0) * p[3, :]
+    p[1, :] = ay * p[1, :] + (ay - 1.0) * p[3, :]
+    return dataclasses.replace(cam, proj=p.astype(cam.proj.dtype))

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable early ray termination")
     p.add_argument("--test", type=int, default=0, choices=[0, 1, 2, 3],
                    help="0=None 1=RayEntry 2=RayExit 3=NumTextureSamples")
+    p.add_argument("--texture-tf", action="store_true",
+                   help="sample the baked 256x256 TF texture instead of the "
+                        "closed form (the TRANSFER_FUNCTION_TEXTURE build "
+                        "variant, transfer_function.glsl:36-38)")
     p.add_argument("--azimuth", type=float, default=30.0)
     p.add_argument("--elevation", type=float, default=20.0)
     p.add_argument("--orbit", type=float, default=0.0,
@@ -101,6 +105,7 @@ def main(argv=None) -> int:
         clip_distance=args.clip_distance,
         early_ray_termination=not args.no_ert,
         test=Test(args.test),
+        texture_tf=args.texture_tf,
     )
     engine = Engine(render_opts, benchmark_mode=args.benchmark > 0,
                     renderer=args.renderer)

@@ -136,6 +136,12 @@ class Engine:
             n_vox = int(np.prod(volume.density.shape))
             stats.occupied_voxel_percent = 100.0 * n_occ / n_vox
 
+        # The distance transform runs as VMEM-resident Pallas kernels on
+        # accelerator backends (accel/distance_pallas.py — exact twins of
+        # the XLA formulation, equality-tested); CPU keeps the XLA path
+        # (interpret-mode Pallas would be pure overhead).
+        use_pallas_dt = jax.devices()[0].platform != "cpu"
+
         def build_maps():
             occ = occupancy_map(
                 volume.density,
@@ -146,26 +152,44 @@ class Engine:
             )
             st = self.options.skipping_type
             if st == SkippingType.DISTANCE:
-                maps = isotropic_distance(occ)[None]
+                if use_pallas_dt:
+                    from ..accel.distance_pallas import isotropic_distance_pallas
+
+                    maps = isotropic_distance_pallas(occ)[None]
+                else:
+                    maps = isotropic_distance(occ)[None]
             elif st == SkippingType.ANISOTROPIC_DISTANCE:
-                maps = anisotropic_distance(occ)
+                if use_pallas_dt:
+                    from ..accel.distance_pallas import (
+                        anisotropic_distance_pallas)
+
+                    maps = anisotropic_distance_pallas(occ)
+                else:
+                    maps = anisotropic_distance(occ)
             else:
                 # BLOCK uses the occupancy map directly; NONE keeps it for
                 # diagnostics (the reference also computes it, then skips the
                 # distance passes — src/compute_distance_map.cpp:96-99).
                 maps = occ[None]
-            maps.block_until_ready()
-            # Force a host round-trip: some transports report readiness
-            # before device completion, which would fake the timing.
-            float(maps.ravel()[0])
             return maps
 
+        def sync(maps):
+            maps.block_until_ready()
+            # Force a host round-trip: this transport reports readiness
+            # before device completion, which would fake the timing.
+            float(maps.ravel()[0])
+
         runs = timed_runs if self.benchmark_mode else 1
-        build_maps()  # warm the jit cache before timing (the reference's 5-run
-        # average also amortises pipeline warmup, src/volume_render.cpp:421-430)
+        sync(build_maps())  # warm the jit cache before timing (the reference's
+        # 5-run average also amortises pipeline warmup, volume_render.cpp:421-430)
         t0 = time.perf_counter()
         for _ in range(runs):
             maps = build_maps()
+        # One forced sync after the loop: the queued builds execute serially
+        # on-device, so wall/runs is the per-build time plus ~1/runs of the
+        # ~34 ms transport round trip (timing it per build would add the
+        # full round trip to every sample).
+        sync(maps)
         stats.map_update_ms = (time.perf_counter() - t0) * 1e3 / runs
         volume.dist_maps = maps
         return stats
@@ -256,7 +280,15 @@ class Engine:
             early_ray_termination=self.options.early_ray_termination,
             precomputed_gradient=volume.options.use_precomputed_gradient,
             test=self.options.test,
+            tf_texture=self._tf_texture(volume),
         )
+
+    def _tf_texture(self, volume: Volume):
+        """Baked TF texture when the TRANSFER_FUNCTION_TEXTURE variant is
+        active (RenderOptions.texture_tf), else None (closed-form TF)."""
+        if not self.options.texture_tf:
+            return None
+        return jnp.asarray(volume.tf_texture)
 
     def _render_sweep(self, volume: Volume, camera, width: int, height: int,
                       depth_image=None) -> RenderOutput | None:
@@ -269,6 +301,33 @@ class Engine:
         device→host transfers."""
         from ..render import plan as plan_mod
         from ..render import sweep as sweep_mod
+
+        # Arbitrary image sizes on the Pallas path: render a tile-aligned
+        # padded viewport whose top-left window has pixel-identical rays
+        # (camera.pad_viewport remixes clip x/y with w) and crop. CPU runs
+        # keep the plain path — there the width gate routes to the XLA sweep.
+        if (self.renderer == "pallas"
+                and jax.devices()[0].platform != "cpu"
+                and (height % 8 or width % 128)):
+            from ..camera import pad_viewport
+
+            hp = -(-height // 8) * 8
+            wp = -(-width // 128) * 128
+            cam_p = pad_viewport(camera, width, height, wp, hp)
+            depth_p = depth_image
+            if depth_image is not None:
+                depth_p = jnp.pad(
+                    depth_image,
+                    ((0, hp - height), (0, wp - width)),
+                )  # pad 0 = reverse-Z far plane: never clips
+            out = self._render_sweep(volume, cam_p, wp, hp,
+                                     depth_image=depth_p)
+            if out is None:
+                return None
+            crop = lambda a: (a[:height, :width]
+                              if getattr(a, "ndim", 0) >= 2
+                              and a.shape[:2] == (hp, wp) else a)
+            return jax.tree.map(crop, out)
 
         cache = getattr(volume, "_sweep_cache", None)
         if cache is None:
@@ -347,6 +406,10 @@ class Engine:
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
                 and height % 8 == 0 and width % 128 == 0
                 and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
+                # Texture-TF lookups need a per-sample 2D gather the sweep
+                # kernel does not implement; the XLA sweep covers the
+                # TRANSFER_FUNCTION_TEXTURE variant.
+                and not self.options.texture_tf
             )
             if pallas_ok:
                 # Host-analytic frame plan (render/plan.py): no device
@@ -398,6 +461,7 @@ class Engine:
             early_ray_termination=self.options.early_ray_termination,
             test=self.options.test,
             oversample=float(volume.options.sampling_factor),
+            tf_texture=self._tf_texture(volume),
         )
 
     def render_image(self, camera, width: int, height: int,

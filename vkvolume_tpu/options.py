@@ -37,6 +37,12 @@ class RenderOptions:
     early_ray_termination: bool = True
     depth_attachment: bool = False
     test: Test = Test.NONE
+    # TRANSFER_FUNCTION_TEXTURE build variant (transfer_function.glsl:36-38):
+    # sample the baked 256×256 TF texture instead of the closed form. The
+    # occupancy/distance maps keep the closed-form alpha>0 test, which is a
+    # superset of the texture's (u8 truncation only zeroes small alphas), so
+    # skipping stays conservative-correct.
+    texture_tf: bool = False
 
 
 @dataclasses.dataclass

@@ -967,22 +967,23 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     return None
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
-                     "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
-                     "RECT_A", "RECT_B"),
-)
-def _frame_jit(
+def _frame_body(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup,
     uniforms: FrameUniforms, proj_view_model, grid_params, grad_t=None,
     hcoef=None,
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
+    n_shards=1, axis_name=None,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
-    inside this jit; only the tiny plan runs on the host."""
+    inside one jit; only the tiny plan runs on the host.
+
+    Multi-chip (``axis_name`` set, called under shard_map — see
+    parallel/mesh.py:render_frame_sharded): each device sweeps its Hi/n
+    contiguous w-grid rows (volume replicated), one tiled ``all_gather``
+    rebuilds the full grid, and the warp runs on the device's local pixel
+    rows — the only collective in the frame."""
     from .frustum import rays_from_dirs
 
     f = jnp.float32
@@ -991,12 +992,15 @@ def _frame_jit(
     wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
                           grid_params[3])
 
-    gyi = jax.lax.broadcasted_iota(f, (Hi, Wi), 0)
-    gxi = jax.lax.broadcasted_iota(f, (Hi, Wi), 1)
+    Hi_loc = Hi // n_shards
+    gyi = jax.lax.broadcasted_iota(f, (Hi_loc, Wi), 0)
+    if axis_name is not None:
+        gyi = gyi + jax.lax.axis_index(axis_name).astype(f) * f(Hi_loc)
+    gxi = jax.lax.broadcasted_iota(f, (Hi_loc, Wi), 1)
     wu_g = wu0 + (gxi + 0.5) * dwu
     wv_g = wv0 + (gyi + 0.5) * dwv
     dir_xyz = [None, None, None]
-    dir_xyz[p_axis] = jnp.full((Hi, Wi), f(sgn_p))
+    dir_xyz[p_axis] = jnp.full((Hi_loc, Wi), f(sgn_p))
     dir_xyz[u_ax] = wu_g * f(sgn_p)
     dir_xyz[v_ax] = wv_g * f(sgn_p)
     dirs = jnp.stack(dir_xyz, -1)
@@ -1034,6 +1038,10 @@ def _frame_jit(
         chans = jnp.stack([
             grid_out.color[..., 0], grid_out.color[..., 3], grid_out.depth,
         ])
+    if axis_name is not None:
+        # Rebuild the full w-grid from the per-device row strips (the
+        # frame's only collective; a few MB over ICI).
+        chans = jax.lax.all_gather(chans, axis_name, axis=1, tiled=True)
     if RECT_A is not None and hcoef is not None:
         # Two-pass projective warp (see warp_pallas.warp_two_pass): the
         # pixel→grid map is an exact homography, so the resample factors
@@ -1093,6 +1101,14 @@ def _frame_jit(
     return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
                         num_distance_samples=zi, num_empty_samples=zi,
                         iterations=grid_out.iterations)
+
+
+_frame_jit = functools.partial(
+    jax.jit,
+    static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
+                     "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
+                     "RECT_A", "RECT_B"),
+)(_frame_body)
 
 
 def render_frame(
