@@ -34,6 +34,8 @@ def main():
     dataset = os.environ.get("BENCH_DATASET", "beetle")
     skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
     renderer = os.environ.get("BENCH_RENDERER", "pallas")
+    orbit = float(os.environ.get("BENCH_ORBIT", "0"))      # deg/frame
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") != "0"
 
     import jax
 
@@ -48,9 +50,30 @@ def main():
         width=width, height=height, frames=frames, scale=scale,
         # Headline number = the real shaded render with ERT on (the
         # user-facing configuration), not the sample-count test image.
-        test=Test.NONE, ert=True, renderer=renderer,
+        test=Test.NONE, ert=True, renderer=renderer, orbit_deg=orbit,
     )
     wall = time.time() - t0
+
+    stages = None
+    if breakdown and renderer == "pallas":
+        from vkvolume_tpu.bench.harness import benchmark_camera, stage_breakdown
+        from vkvolume_tpu.engine import Engine, RenderOptions, from_array
+        from vkvolume_tpu.bench.datasets import DATASETS, synthesize
+        from vkvolume_tpu.options import SkippingType, VolumeOptions
+
+        ds = DATASETS[dataset]
+        eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
+                     renderer="pallas")
+        eng.options.early_ray_termination = True
+        vol_u8 = synthesize(ds, scale=scale)
+        opts = VolumeOptions(intensity_min=ds.imin, intensity_max=ds.imax,
+                             gradient_min=ds.gmin, gradient_max=ds.gmax)
+        v = from_array(vol_u8, opts, block_size=4, name=ds.filename)
+        d, h, w = vol_u8.shape
+        v.set_scale((100.0 / max(d, h, w),) * 3)
+        eng.add_volume(v)
+        stages = stage_breakdown(
+            eng, benchmark_camera(aspect=width / height), width, height)
 
     ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
@@ -70,6 +93,8 @@ def main():
         "rep_ms": reps,
         "rep_spread": round(spread, 3),
         "renderer_used": r.renderer_used,
+        "orbit_deg_per_frame": orbit,
+        "stages": stages,
     }
     print(json.dumps(result))
 

@@ -77,6 +77,7 @@ def run_config(
     test: Test | None = None,
     ert: bool | None = None,
     renderer: str = "pallas",
+    orbit_deg: float = 0.0,
 ) -> BenchResult:
     ds = DATASETS[dataset_key]
     t_load = time.perf_counter()
@@ -99,21 +100,44 @@ def run_config(
     vol.set_scale((100.0 / max(d, h, w),) * 3)
     stats = eng.add_volume(vol)
 
-    cam = benchmark_camera(aspect=width / height)
+    aspect = width / height
+
+    def cam_for(i):
+        return benchmark_camera(aspect, azimuth=30.0 + orbit_deg * i)
 
     # Warm the jit cache, then time the steady state (the reference's
     # 1000-frame average is likewise steady-state, scripts/benchmark.py:55).
     # The shared-transport environment shows large run-to-run variance, so
     # run several repetitions and report the MEDIAN (the spread is kept in
     # rep_ms; best-of was round 1's protocol and proved unstable).
+    #
+    # ``orbit_deg`` spins the camera (the reference protocol uses a free
+    # camera): every timed pose is FRESH — the engine must plan it with
+    # host-only analysis, no per-frame synced transfers. Warm-up covers the
+    # azimuth span once so jit specialisations (quantised plan statics)
+    # compile outside the timed region, mirroring the static warm-up.
+    cam = cam_for(0)
     out = eng.render(cam, width, height)
     out.color.block_until_ready()
     float(out.color.ravel()[0])
+    if orbit_deg:
+        # Same azimuth RANGE as the timed frames (plan statics depend on the
+        # view), nudged by a fraction of a step so every timed pose is still
+        # a pose-cache miss.
+        span = orbit_deg * frames * 5
+        for az in np.linspace(30.0 + 0.37 * orbit_deg,
+                              30.0 + span + 0.37 * orbit_deg, 17):
+            out = eng.render(benchmark_camera(aspect, azimuth=az),
+                             width, height)
+        out.color.block_until_ready()
+        float(out.color.ravel()[0])
     reps = []
+    idx = 0
     for _rep in range(5):
         t0 = time.perf_counter()
         for _ in range(frames):
-            out = eng.render(cam, width, height)
+            out = eng.render(cam_for(idx), width, height)
+            idx += 1
         out.color.block_until_ready()
         float(out.color.ravel()[0])
         reps.append((time.perf_counter() - t0) / frames * 1e3)
@@ -131,6 +155,88 @@ def run_config(
         rep_ms=tuple(round(r, 3) for r in reps),
         renderer_used=getattr(eng, "last_renderer", ""),
     )
+
+
+def stage_breakdown(eng, cam, width: int, height: int,
+                    reps: int = 3, inner: int = 10) -> dict | None:
+    """Per-stage frame timings for the Pallas production path:
+
+    * ``plan_ms``   — host-analytic view analysis + grid plan (render/plan.py)
+    * ``sweep_ms``  — w-grid field construction + Pallas sweep kernel
+    * ``warp_ms``   — grid→pixel warp + pixel-space outputs
+    * ``transport_ms`` — one forced host sync (the relay round trip every
+      timing sample pays once)
+
+    Captures the engine's actual ``_frame_jit`` arguments for the pose, then
+    times the two device stages with ``inner`` queued executions per sync
+    (the transport cost amortises to ~1/inner). None when the pose doesn't
+    run the Pallas path."""
+    import time as _time
+
+    import jax
+
+    from ..render import plan as plan_mod
+    from ..render import sweep_pallas as sp
+
+    captured = {}
+    orig = sp._frame_jit
+
+    def capture(*a, **k):
+        captured["a"], captured["k"] = a, k
+        return orig(*a, **k)
+
+    sp._frame_jit = capture
+    try:
+        eng.render(cam, width, height)
+    finally:
+        sp._frame_jit = orig
+    if "a" not in captured:
+        return None
+    a, k = captured["a"], captured["k"]
+    vol_t, _occ, tf, rays, uniforms, _pvm, gp = a[:7]
+    hcoef = a[8] if len(a) > 8 else k.get("hcoef")
+
+    def timed(fn):
+        out = fn()
+        jax.block_until_ready(out)
+        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            for _ in range(inner):
+                out = fn()
+            jax.block_until_ready(out)
+            float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            ts.append((_time.perf_counter() - t0) * 1e3 / inner)
+        return float(np.median(ts))
+
+    # Host plan (pure numpy).
+    t0 = _time.perf_counter()
+    for _ in range(20):
+        view = plan_mod.analyze_view(uniforms, height, width)
+        sp.plan_from_stats(view, uniforms, k["p_axis"],
+                           vol_t.shape, height, width)
+    plan_ms = (_time.perf_counter() - t0) * 1e3 / 20
+
+    sweep_ms = timed(lambda: orig(*a, **k, return_chans=True))
+    chans, iters = orig(*a, **k, return_chans=True)
+    dim_max = max(vol_t.shape)
+    warp_ms = timed(lambda: sp._pixel_stage_jit(
+        chans, rays, gp, hcoef, tf, iters,
+        p_axis=k["p_axis"], Hi=k["Hi"], R_warp=k["R_warp"], test=k["test"],
+        RECT_A=k["RECT_A"], RECT_B=k["RECT_B"],
+        interpret=k.get("interpret", False), dim_max=dim_max,
+    ))
+
+    ready = jax.block_until_ready(chans)
+    t0 = _time.perf_counter()
+    for _ in range(5):
+        float(ready.ravel()[0])
+    transport_ms = (_time.perf_counter() - t0) * 1e3 / 5
+
+    return dict(plan_ms=round(plan_ms, 3), sweep_ms=round(sweep_ms, 3),
+                warp_ms=round(warp_ms, 3),
+                transport_ms=round(transport_ms, 3))
 
 
 def run_sweep(

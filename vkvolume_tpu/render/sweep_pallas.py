@@ -973,7 +973,7 @@ def _frame_body(
     hcoef=None,
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
-    n_shards=1, axis_name=None,
+    n_shards=1, axis_name=None, return_chans=False,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1015,19 +1015,6 @@ def _frame_body(
         separable=True, dist_leap=dist_leap,
     )
 
-    # Pixel → grid coordinates from the pixel rays.
-    d = rays.ray_dir
-    d_p = d[..., p_axis]
-    okp = jnp.abs(d_p) > 1e-6
-    safe = jnp.where(okp, d_p, 1.0)
-    wu_pix = d[..., u_ax] / safe
-    wv_pix = d[..., v_ax] / safe
-    gx = (wu_pix - wu0) / dwu - 0.5
-    gy = (wv_pix - wv0) / dwv - 0.5
-    pix_ok = rays.valid & okp
-    gx = jnp.where(pix_ok, gx, -10.0)
-    gy = jnp.where(pix_ok, gy, -10.0)
-
     num_test = test == Test.NUM_TEXTURE_SAMPLES
     if num_test:
         chans = jnp.stack([
@@ -1042,6 +1029,41 @@ def _frame_body(
         # Rebuild the full w-grid from the per-device row strips (the
         # frame's only collective; a few MB over ICI).
         chans = jax.lax.all_gather(chans, axis_name, axis=1, tiled=True)
+    if return_chans:
+        return chans, grid_out.iterations   # grid-stage timing entry
+    Np, Sv, Su = vol_t.shape
+    return _pixel_stage(
+        chans, rays, grid_params, hcoef, tf, grid_out.iterations,
+        p_axis=p_axis, Hi=Hi, R_warp=R_warp, test=test, RECT_A=RECT_A,
+        RECT_B=RECT_B, interpret=interpret, dim_max=max(Np, Sv, Su),
+    )
+
+
+def _pixel_stage(
+    chans, rays: RaySetup, grid_params, hcoef, tf: TFParams, iterations,
+    *, p_axis, Hi, R_warp, test, RECT_A, RECT_B, interpret, dim_max,
+):
+    """Warp + pixel-space outputs (the frame's second half — split out so
+    the benchmark can time the grid and pixel stages separately)."""
+    f = jnp.float32
+    H, W = rays.valid.shape
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
+                          grid_params[3])
+    num_test = test == Test.NUM_TEXTURE_SAMPLES
+
+    d = rays.ray_dir
+    d_p = d[..., p_axis]
+    okp = jnp.abs(d_p) > 1e-6
+    safe = jnp.where(okp, d_p, 1.0)
+    wu_pix = d[..., u_ax] / safe
+    wv_pix = d[..., v_ax] / safe
+    gx = (wu_pix - wu0) / dwu - 0.5
+    gy = (wv_pix - wv0) / dwv - 0.5
+    pix_ok = rays.valid & okp
+    gx = jnp.where(pix_ok, gx, -10.0)
+    gy = jnp.where(pix_ok, gy, -10.0)
+
     if RECT_A is not None and hcoef is not None:
         # Two-pass projective warp (see warp_pallas.warp_two_pass): the
         # pixel→grid map is an exact homography, so the resample factors
@@ -1086,8 +1108,6 @@ def _frame_body(
     nsamp = (warped[3].astype(jnp.int32) if num_test
              else jnp.zeros((H, W), jnp.int32))
     if num_test:
-        Np, Sv, Su = vol_t.shape
-        dim_max = max(Np, Sv, Su)
         n_steps_max = jnp.floor(
             jnp.ceil(f(dim_max) * jnp.sqrt(f(3.0))) * tf.sampling_factor
         )
@@ -1100,15 +1120,21 @@ def _frame_body(
     zi = jnp.zeros((H, W), jnp.int32)
     return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
                         num_distance_samples=zi, num_empty_samples=zi,
-                        iterations=grid_out.iterations)
+                        iterations=iterations)
 
 
 _frame_jit = functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
-                     "RECT_A", "RECT_B"),
+                     "RECT_A", "RECT_B", "return_chans"),
 )(_frame_body)
+
+_pixel_stage_jit = functools.partial(
+    jax.jit,
+    static_argnames=("p_axis", "Hi", "R_warp", "test", "RECT_A", "RECT_B",
+                     "interpret", "dim_max"),
+)(_pixel_stage)
 
 
 def render_frame(
