@@ -119,3 +119,53 @@ def test_sharded_render_frame_matches_single_device():
                                np.asarray(single.depth), atol=1e-4)
     shard_devs = {sh.device for sh in sharded.color.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_volume_sharded_march_close_to_single_device():
+    """Volume-sharded (TP analogue): z-slabs with halo planes per device,
+    rays replicated, per-segment marches composed with the over operator in
+    ray order. Segment sample phases differ from the single-device march, so
+    parity is at resample tolerance (like the plane-sweep renderers)."""
+    from vkvolume_tpu.parallel import march_volume_sharded
+
+    vol = sphere_shell_volume(32)
+    s = _setup(vol, size=24)
+    single = _march(vol, s, SkippingType.DISTANCE)
+
+    mesh = make_mesh(8)
+    dist_maps = isotropic_distance(s["occ"])[None]
+    out = march_volume_sharded(
+        mesh,
+        jnp.asarray(vol), s["grad"], dist_maps, s["tf"], s["rays"],
+        jnp.asarray(s["bs"]), s["pvm"],
+        skipping_type=SkippingType.DISTANCE,
+        early_ray_termination=True,
+    )
+    a = np.asarray(single.color)
+    b = np.asarray(out.color)
+    assert a[..., 3].max() > 0.3
+    assert np.abs(a - b).max() < 0.06
+    assert abs(a[..., 3].mean() - b[..., 3].mean()) < 2e-3
+    # Reverse-Z depth of the nearest hit survives composition.
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(single.depth), atol=2e-2)
+
+
+def test_volume_sharded_march_skipmode_none():
+    """TP mode without acceleration maps (skipping NONE)."""
+    from vkvolume_tpu.parallel import march_volume_sharded
+
+    vol = sphere_shell_volume(32)
+    s = _setup(vol, size=16)
+    single = _march(vol, s, SkippingType.NONE)
+    mesh = make_mesh(8)
+    out = march_volume_sharded(
+        mesh,
+        jnp.asarray(vol), s["grad"], None, s["tf"], s["rays"],
+        jnp.asarray(s["bs"]), s["pvm"],
+        skipping_type=SkippingType.NONE,
+        early_ray_termination=True,
+    )
+    a = np.asarray(single.color)
+    b = np.asarray(out.color)
+    assert np.abs(a - b).max() < 0.06

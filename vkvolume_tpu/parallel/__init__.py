@@ -1,5 +1,7 @@
-from .mesh import (RAY_AXIS, make_mesh, march_sharded,
-                   render_frame_sharded, replicate, shard_rays)
+from .mesh import (RAY_AXIS, VOL_AXIS, make_mesh, march_sharded,
+                   march_volume_sharded, render_frame_sharded, replicate,
+                   shard_rays)
 
-__all__ = ["RAY_AXIS", "make_mesh", "march_sharded",
-           "render_frame_sharded", "replicate", "shard_rays"]
+__all__ = ["RAY_AXIS", "VOL_AXIS", "make_mesh", "march_sharded",
+           "march_volume_sharded", "render_frame_sharded", "replicate",
+           "shard_rays"]

@@ -60,6 +60,7 @@ class RenderOutput:
         "test",
         "count_samples",
         "max_iterations",
+        "global_depth",
     ),
 )
 def march(
@@ -71,6 +72,7 @@ def march(
     block_size_xyz: jax.Array,         # (3,) float32 — effective block size
     proj_view_model: jax.Array,        # (4,4) proj@view@model for depth output
     tf_texture: jax.Array | None = None,   # (256,256,4) uint8 — texture TF path
+    vol_origin_z=None,                 # traced scalar: slab's first global plane
     *,
     skipping_type: SkippingType = SkippingType.DISTANCE,
     early_ray_termination: bool = True,
@@ -78,10 +80,16 @@ def march(
     test: Test = Test.NONE,
     count_samples: bool = False,
     max_iterations: int = 0,           # 0 = unbounded (until all rays done)
+    global_depth: int | None = None,   # volume-sharded (TP) mode: full depth
 ) -> RenderOutput:
     f = jnp.float32
     H, W = rays.valid.shape
     d, h, w = volume_u8.shape
+    if global_depth is not None:
+        # Volume-sharded mode (parallel/mesh.py:march_volume_sharded): the
+        # arrays are z-slabs; every coordinate computation uses the GLOBAL
+        # extent and the trilinear taps rebase into the slab.
+        d = global_depth
     dims = jnp.asarray([w, h, d], f)
     dim_max = max(w, h, d)
     skip = skipping_type != SkippingType.NONE
@@ -141,13 +149,17 @@ def march(
     use_tf_texture = tf_texture is not None
 
     def sample_color(pos):
-        intensity = sampling.trilinear(volume_u8, pos)
+        intensity = sampling.trilinear(volume_u8, pos, global_depth=global_depth,
+                                       origin_z=vol_origin_z)
         if tf.use_gradient:
             if precomputed_gradient:
-                gradient = sampling.trilinear(gradient_u8, pos)
+                gradient = sampling.trilinear(
+                    gradient_u8, pos, global_depth=global_depth,
+                    origin_z=vol_origin_z)
             else:
                 gradient = sampling.gradient_on_the_fly(
-                    volume_u8, pos, tf.grad_magnitude_modifier
+                    volume_u8, pos, tf.grad_magnitude_modifier,
+                    global_depth=global_depth, origin_z=vol_origin_z
                 )
         else:
             gradient = jnp.ones_like(intensity)
