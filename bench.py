@@ -39,6 +39,9 @@ def main():
 
     import jax
 
+    from vkvolume_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     from vkvolume_tpu.bench.harness import run_config

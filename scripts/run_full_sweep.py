@@ -14,9 +14,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vkvolume_tpu.bench.harness import run_sweep
+from vkvolume_tpu.utils import enable_compile_cache
 
 
 def main():
+    # Hang diagnostics: the remote-compile/transport relay can stall for
+    # minutes; dump all thread stacks periodically and on SIGUSR1 so a hung
+    # run is diagnosable from the log.
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    faulthandler.dump_traceback_later(900, repeat=True)
+
+    enable_compile_cache()
     out_dir = os.environ.get("OUT_DIR", "docs/benchmarks_r2")
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()

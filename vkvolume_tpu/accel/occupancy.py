@@ -191,12 +191,15 @@ def occupancy_map(
 @functools.partial(jax.jit, static_argnames=("ti", "tg"))
 def _count_u8(volume_u8, gradient_u8, ti: int, tg: int):
     if ti > 255 or tg > 255:
-        return jnp.zeros((), jnp.int32)
+        return jnp.zeros((volume_u8.shape[0],), jnp.int32)
     occ = volume_u8 >= jnp.uint8(ti)
     if gradient_u8 is not None:
         occ &= gradient_u8 >= jnp.uint8(tg)
-    return jnp.sum(occ, dtype=jnp.int64 if jax.config.jax_enable_x64
-                   else jnp.int32)
+    # Per-slice int32 partials (a slice is < 2^31 voxels); the host sums
+    # them in arbitrary precision — the int64 totals the reference's
+    # subgroup reduction guarantees (occupied_voxel_count.comp, shaderInt64)
+    # without requiring jax x64 mode.
+    return jnp.sum(occ, axis=(1, 2), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("on_the_fly_gradient",))
@@ -228,6 +231,8 @@ def occupied_voxel_count(
         gradient_u8 = None
     thr = _tf_thresholds(tf)
     if thr is not None:
+        import numpy as np
+
         ti, tg = thr
         if tf.use_gradient and gradient_u8 is None:
             from .gradient import gradient_map
@@ -235,7 +240,8 @@ def occupied_voxel_count(
             gradient_u8 = gradient_map(
                 volume_u8, tf.grad_magnitude_modifier, use_gradient=True
             )
-        return _count_u8(volume_u8,
-                         gradient_u8 if tf.use_gradient else None, ti, tg)
+        slices = _count_u8(volume_u8,
+                           gradient_u8 if tf.use_gradient else None, ti, tg)
+        return int(np.asarray(slices, dtype=np.int64).sum())
     return _count_general(volume_u8, gradient_u8, tf,
                           on_the_fly_gradient=on_the_fly_gradient)
