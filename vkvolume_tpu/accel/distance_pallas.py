@@ -137,6 +137,33 @@ def _scan_relax_kernel(occ_ref, *out_refs, Yp, Xp, scan_dir, relax_dirs):
         ref[...] = A.astype(jnp.uint8)
 
 
+def _scan_relax_multi_kernel(occ_ref, *out_refs, Yp, Xp, scan_dirs,
+                             relax_dirs):
+    """All (scan_dir × relax_dir) variants in one pass over the occupancy
+    brick (one HBM read instead of one per scan direction); outputs ordered
+    scan-major."""
+    occ = occ_ref[...].astype(jnp.int32)
+    i = 0
+    for sd in scan_dirs:
+        g = jnp.minimum(_x_scan_vmem(occ, Xp, sd), jnp.int32(255))
+        for A in _relax_vmem(g, Yp, occ.ndim - 2, relax_dirs):
+            out_refs[i][...] = A.astype(jnp.uint8)
+            i += 1
+
+
+def _relax_multi_kernel(*refs, Lp, axis, relax_dirs, n_in):
+    """relax_dirs variants of ``n_in`` independent inputs in one launch
+    (outputs ordered input-major)."""
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:]
+    i = 0
+    for ref in in_refs:
+        D = ref[...].astype(jnp.int32)
+        for A in _relax_vmem(D, Lp, axis, relax_dirs):
+            out_refs[i][...] = A.astype(jnp.uint8)
+            i += 1
+
+
 def _relax_kernel(d_ref, *out_refs, Lp, relax_dirs, axis=None):
     D = d_ref[...].astype(jnp.int32)
     ax = D.ndim - 2 if axis is None else axis
@@ -180,6 +207,57 @@ def scan_and_relax(occ_u8: jax.Array, scan_dir: int, relax_dirs: tuple,
         interpret=interpret,
     )(occ_p)
     outs = outs if isinstance(outs, (list, tuple)) else [outs]
+    return [o[:Z, :Y, :X] for o in outs]
+
+
+def scan_and_relax_multi(occ_u8: jax.Array, scan_dirs: tuple,
+                         relax_dirs: tuple, interpret: bool = False):
+    """One launch producing all (scan_dir × relax_dir) y-stage variants
+    (scan-major order) — one occupancy read for the whole anisotropic
+    schedule's first stage."""
+    Z, Y, X = occ_u8.shape
+    Yp = -(-Y // 8) * 8
+    Xp = -(-X // 128) * 128
+    n_out = len(scan_dirs) * len(relax_dirs)
+    tz = _brick_rows(Yp, Xp, len(relax_dirs))
+    Zp = -(-Z // tz) * tz
+    occ_p = _pad_to(occ_u8, (Zp, Yp, Xp))
+    kern = functools.partial(_scan_relax_multi_kernel, Yp=Yp, Xp=Xp,
+                             scan_dirs=tuple(scan_dirs),
+                             relax_dirs=tuple(relax_dirs))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.uint8)] * n_out,
+        grid=(Zp // tz,),
+        in_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((tz, Yp, Xp), lambda b: (b, 0, 0))] * n_out,
+        interpret=interpret,
+    )(occ_p)
+    return [o[:Z, :Y, :X] for o in outs]
+
+
+def relax_z_direct_multi(ds_u8: list, relax_dirs: tuple,
+                         interpret: bool = False):
+    """One launch z-relaxing several inputs (outputs input-major)."""
+    Z, Y, X = ds_u8[0].shape
+    Zp = -(-Z // 8) * 8
+    Xp = -(-X // 128) * 128
+    ty = _brick_rows(Zp, Xp, len(relax_dirs))
+    Ypad = -(-Y // ty) * ty
+    ins = [_pad_to(d, (Zp, Ypad, Xp)) for d in ds_u8]
+    n_in = len(ins)
+    n_out = n_in * len(relax_dirs)
+    kern = functools.partial(_relax_multi_kernel, Lp=Zp, axis=0,
+                             relax_dirs=tuple(relax_dirs), n_in=n_in)
+    spec = pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((Zp, Ypad, Xp), jnp.uint8)] * n_out,
+        grid=(Ypad // ty,),
+        in_specs=[spec] * n_in,
+        out_specs=[spec] * n_out,
+        interpret=interpret,
+    )(*ins)
     return [o[:Z, :Y, :X] for o in outs]
 
 
@@ -250,14 +328,16 @@ def anisotropic_distance_pallas(occ_u8: jax.Array,
     ``distance.anisotropic_distance`` with the 14-pass shared schedule
     collapsed to 2 scan+y-relax launches and 4 dual-output z launches."""
     maps = [None] * 8
+    xys = scan_and_relax_multi(occ_u8, scan_dirs=(+1, -1),
+                               relax_dirs=(+1, -1), interpret=interpret)
+    zs = relax_z_direct_multi(xys, relax_dirs=(+1, -1), interpret=interpret)
+    i = 0
     for sx in (+1, -1):
-        ys = scan_and_relax(occ_u8, scan_dir=sx, relax_dirs=(+1, -1),
-                            interpret=interpret)
-        for sy, xy in zip((+1, -1), ys):
-            zs = relax_z_direct(xy, relax_dirs=(+1, -1), interpret=interpret)
-            for sz, m in zip((+1, -1), zs):
+        for sy in (+1, -1):
+            for sz in (+1, -1):
                 idx = ((sx < 0) << 2) | ((sy < 0) << 1) | (sz < 0)
-                maps[idx] = m
+                maps[idx] = zs[i]
+                i += 1
     return jnp.stack(maps)
 
 

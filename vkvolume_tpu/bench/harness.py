@@ -250,28 +250,44 @@ def run_sweep(
     log=print,
 ):
     """Full sweep, one CSV per skipmode (scripts/benchmark.py:66-93).
-    skipmode 0 only runs the first block size, like the reference (:71)."""
+    skipmode 0 only runs the first block size, like the reference (:71).
+
+    Rows are appended to the CSV as they complete and already-present
+    (image, blocksize, TF) rows are skipped on restart — the relay
+    occasionally kills long runs mid-sweep, and a resumable sweep loses one
+    config instead of an hour."""
     import csv
+    import os
 
     for skipmode in skipmodes:
-        rows = []
+        path = f"{out_prefix}_{skipmode}.csv"
+        done = set()
+        if os.path.exists(path):
+            with open(path, newline="") as fh:
+                for row in csv.DictReader(fh):
+                    done.add((row["image"], int(row["blocksize"]),
+                              float(row["gmin"]), float(row["gmax"])))
+        elif True:
+            with open(path, "w", newline="") as fh:
+                csv.writer(fh).writerow(CSV_COLUMNS)
         for key in dataset_keys:
             cached_vol = None
             for b in blocksizes:
                 if skipmode == 0 and b != blocksizes[0]:
                     continue
+                ds = DATASETS[key]
+                sig = (key.split("-")[0], b, ds.gmin, ds.gmax)
+                if sig in done:
+                    log(f"{key} skipmode={skipmode} b={b}: already done")
+                    continue
                 if cached_vol is None:
-                    cached_vol = synthesize(DATASETS[key], scale=scale)
+                    cached_vol = synthesize(ds, scale=scale)
                 r = run_config(key, skipmode, b, width=width, height=height,
                                frames=frames, scale=scale,
                                volume_u8=cached_vol)
                 log(f"{key} skipmode={skipmode} b={b}: "
                     f"{r.framerate:.1f} fps, update {r.update:.2f} ms, "
                     f"occ {r.occupancy:.2f}%")
-                rows.append(r.row())
-        path = f"{out_prefix}_{skipmode}.csv"
-        with open(path, "w", newline="") as fh:
-            wr = csv.writer(fh)
-            wr.writerow(CSV_COLUMNS)
-            wr.writerows(rows)
+                with open(path, "a", newline="") as fh:
+                    csv.writer(fh).writerow(r.row())
         log(f"wrote {path}")

@@ -290,20 +290,29 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
 
     span_b = view["span_wv_t"] / plan["dwv"]
 
-    def pick(span):
+    def pick(span, src_width):
         # The row-aligned rect is (C, 8, RECT) f32 in VMEM — 4096 lanes is
         # ~524 KB at C=4 (VMEM is 16 MB), so wide windows are cheap; the
         # lane-select chain grows by one take per extra 128 lanes and the
-        # per-tile DMA stays a few hundred KB.
+        # per-tile DMA stays a few hundred KB. The rect must never exceed
+        # the source row width (the DMA would read out of bounds — a device
+        # fault, not an error).
         if not np.isfinite(span):
             return None
+        cap = min(4096, (int(src_width) // 128) * 128)
         # 256-step quantization: each distinct rect is a jit specialization.
         rect = -(-int(span + 132.0) // 256) * 256
         rect = max(rect, 256)
-        return rect if rect <= 4096 else None
+        if rect > cap:
+            # A cap-wide window still covers any span <= cap - 132 (the
+            # aligned base wastes at most 127 + tent margin).
+            rect = cap
+            if span > cap - 132.0:
+                return None
+        return rect
 
-    ra = pick(span_a)
-    rb = pick(span_b)
+    ra = pick(span_a, plan["Wi"])
+    rb = pick(span_b, plan["Hi"])
     if ra is None or rb is None:
         return None
     return dict(hcoef=hc, RECT_A=ra, RECT_B=rb)

@@ -905,12 +905,16 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # Grid-size allowance: proportional for big images, with an absolute
     # floor so small images can still host the range-driven grid the sweep
     # footprint limits demand (grid size is range-driven, not image-driven).
+    # The final tier (f = inf) is UNCAPPED at the kernel minimum (Wi_k,
+    # Hi_k): a zoomed-out view of a large volume (texel < pixel) needs a
+    # grid finer than the image, and even a 2× oversampled Pallas sweep
+    # beats the order-of-magnitude slower XLA fallback.
     cap_w = max(width * max_oversample, 2304.0)
     cap_h = max(height * max_oversample, 1536.0)
-    for f in (1.0, 1.3, 1.7, 2.2):
+    for f in (1.0, 1.3, 1.7, 2.2, float("inf")):
         Wi = max(Wi_q / f, Wi_k, 128.0)
         Hi = max(Hi_q / f, Hi_k, 8.0)
-        if Wi > cap_w or Hi > cap_h:
+        if f != float("inf") and (Wi > cap_w or Hi > cap_h):
             continue
         # Quantize grid dims coarsely: every distinct (Hi, Wi) is a separate
         # jit specialization, and a moving camera would otherwise recompile
@@ -931,10 +935,12 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
             continue
 
         # Single-pass warp rect height from per-tile pixel→grid spans.
+        # (Wi must hold the fixed 640-lane rect — an undersized source
+        # would make the rect DMA read out of bounds: a device fault.)
         span_gx = st["span_wu"] / dwu
         span_gy = st["span_wv"] / dwv
         R_warp = None
-        if span_gx <= _wp.RECT_W - 132:
+        if span_gx <= _wp.RECT_W - 132 and Wi >= _wp.RECT_W:
             for cand in (16, 24, 32, 48, 64, 96, 128, 192):
                 if span_gy <= cand - 10:
                     R_warp = cand
