@@ -139,8 +139,11 @@ class Engine:
         # The distance transform runs as VMEM-resident Pallas kernels on
         # accelerator backends (accel/distance_pallas.py — exact twins of
         # the XLA formulation, equality-tested); CPU keeps the XLA path
-        # (interpret-mode Pallas would be pure overhead).
-        use_pallas_dt = jax.devices()[0].platform != "cpu"
+        # (interpret-mode Pallas would be pure overhead). The remote Mosaic
+        # compile service is flaky — on a compile failure for a new map
+        # shape, fall back to the XLA transform for this engine (same
+        # results, ~2-3× slower update) instead of dying.
+        state = {"pallas_dt": jax.devices()[0].platform != "cpu"}
 
         def build_maps():
             occ = occupancy_map(
@@ -151,27 +154,36 @@ class Engine:
                 on_the_fly_gradient=on_the_fly,
             )
             st = self.options.skipping_type
-            if st == SkippingType.DISTANCE:
-                if use_pallas_dt:
-                    from ..accel.distance_pallas import isotropic_distance_pallas
-
-                    maps = isotropic_distance_pallas(occ)[None]
-                else:
-                    maps = isotropic_distance(occ)[None]
-            elif st == SkippingType.ANISOTROPIC_DISTANCE:
-                if use_pallas_dt:
-                    from ..accel.distance_pallas import (
-                        anisotropic_distance_pallas)
-
-                    maps = anisotropic_distance_pallas(occ)
-                else:
-                    maps = anisotropic_distance(occ)
-            else:
+            if st not in (SkippingType.DISTANCE,
+                          SkippingType.ANISOTROPIC_DISTANCE):
                 # BLOCK uses the occupancy map directly; NONE keeps it for
                 # diagnostics (the reference also computes it, then skips the
                 # distance passes — src/compute_distance_map.cpp:96-99).
-                maps = occ[None]
-            return maps
+                return occ[None]
+            if state["pallas_dt"]:
+                try:
+                    if st == SkippingType.DISTANCE:
+                        from ..accel.distance_pallas import (
+                            isotropic_distance_pallas)
+
+                        maps = isotropic_distance_pallas(occ)[None]
+                    else:
+                        from ..accel.distance_pallas import (
+                            anisotropic_distance_pallas)
+
+                        maps = anisotropic_distance_pallas(occ)
+                    maps.block_until_ready()
+                    return maps
+                except Exception as e:  # pragma: no cover - infra flake
+                    import sys
+
+                    print("WARNING: Pallas DT unavailable "
+                          f"({str(e)[:120]}); using the XLA transform",
+                          file=sys.stderr)
+                    state["pallas_dt"] = False
+            if st == SkippingType.DISTANCE:
+                return isotropic_distance(occ)[None]
+            return anisotropic_distance(occ)
 
         def sync(maps):
             maps.block_until_ready()
@@ -437,21 +449,32 @@ class Engine:
                     )
                     hcoef = (_jnp.asarray(plan["hcoef"], _jnp.float32)
                              if plan.get("hcoef") is not None else None)
-                    out = sp._frame_jit(
-                        vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
-                        grad_t if tf.use_gradient else None, hcoef,
-                        p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
-                        R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
-                        ert=self.options.early_ray_termination,
-                        test=self.options.test, n_slabs=n_slabs,
-                        sgn_p=plan["sgn_p"],
-                        dist_leap=dist_leap and self.options.skipping_type
-                        != SkippingType.NONE and occ_t is not None,
-                        RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
-                    )
-                    self.last_renderer = "pallas"
-                    self.renderer_counts["pallas"] += 1
-                    return out
+                    try:
+                        out = sp._frame_jit(
+                            vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
+                            grad_t if tf.use_gradient else None, hcoef,
+                            p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
+                            R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
+                            ert=self.options.early_ray_termination,
+                            test=self.options.test, n_slabs=n_slabs,
+                            sgn_p=plan["sgn_p"],
+                            dist_leap=dist_leap and self.options.skipping_type
+                            != SkippingType.NONE and occ_t is not None,
+                            RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
+                        )
+                        self.last_renderer = "pallas"
+                        self.renderer_counts["pallas"] += 1
+                        return out
+                    except Exception as e:  # pragma: no cover - infra flake
+                        # The remote Mosaic compile service occasionally
+                        # fails on a fresh (Hi, Wi, RECT) specialisation;
+                        # the XLA sweep renders the frame (slowly) instead
+                        # of dying. Cached specialisations are unaffected.
+                        import sys
+
+                        print("WARNING: Pallas frame unavailable "
+                              f"({str(e)[:120]}); using the XLA sweep",
+                              file=sys.stderr)
         self.last_renderer = "sweep"
         self.renderer_counts["sweep"] += 1
         return sweep_mod.sweep(
