@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 8          # shift distances per while-loop iteration
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Brick budget: bigger bricks amortise loop overhead, but the remote Mosaic
+# compile helper fails (HTTP 500) on kernels whose live vector state gets
+# large — scan+relax bricks ≲1 MB/array compile reliably where ~2 MB/array
+# started failing mid-session; smaller bricks also sharpen the per-brick
+# early exit.
+_VMEM_BUDGET = 2 * 1024 * 1024
 
 
 def _suffix_min(v, L, Lp, axis):
@@ -178,9 +183,10 @@ def _pad_to(a, shape):
 
 
 def _brick_rows(Yp, Xp, n_bufs):
+    """Leading-dim brick size for the scan+relax kernel (any value >= 1 —
+    the (8, 128) divisibility constraint applies to the last two dims)."""
     per_row = Yp * Xp * 4 * (n_bufs + 2)  # D, A(s), roll temporaries
-    tz = max(1, _VMEM_BUDGET // per_row)
-    return min(8, 1 << (tz.bit_length() - 1))
+    return max(1, min(8, _VMEM_BUDGET // per_row))
 
 
 def scan_and_relax(occ_u8: jax.Array, scan_dir: int, relax_dirs: tuple,
@@ -238,22 +244,29 @@ def scan_and_relax_multi(occ_u8: jax.Array, scan_dirs: tuple,
 
 def relax_z_direct_multi(ds_u8: list, relax_dirs: tuple,
                          interpret: bool = False):
-    """One launch z-relaxing several inputs (outputs input-major)."""
+    """One launch z-relaxing several inputs (outputs input-major).
+
+    Bricks are (Zp, 8, BX): the y tile is pinned at 8 (the sublane
+    divisibility requirement) and the lane dim is blocked so the brick
+    stays within the compile-reliable budget."""
     Z, Y, X = ds_u8[0].shape
     Zp = -(-Z // 8) * 8
     Xp = -(-X // 128) * 128
-    ty = _brick_rows(Zp, Xp, len(relax_dirs))
-    Ypad = -(-Y // ty) * ty
-    ins = [_pad_to(d, (Zp, Ypad, Xp)) for d in ds_u8]
+    bx = max(1, min(Xp // 128, _VMEM_BUDGET // (Zp * 8 * 4 * 128 *
+                                                (len(relax_dirs) + 2))))
+    BX = bx * 128
+    Xpad = -(-Xp // BX) * BX
+    Ypad = -(-Y // 8) * 8
+    ins = [_pad_to(d, (Zp, Ypad, Xpad)) for d in ds_u8]
     n_in = len(ins)
     n_out = n_in * len(relax_dirs)
     kern = functools.partial(_relax_multi_kernel, Lp=Zp, axis=0,
                              relax_dirs=tuple(relax_dirs), n_in=n_in)
-    spec = pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))
+    spec = pl.BlockSpec((Zp, 8, BX), lambda by, bxi: (0, by, bxi))
     outs = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((Zp, Ypad, Xp), jnp.uint8)] * n_out,
-        grid=(Ypad // ty,),
+        out_shape=[jax.ShapeDtypeStruct((Zp, Ypad, Xpad), jnp.uint8)] * n_out,
+        grid=(Ypad // 8, Xpad // BX),
         in_specs=[spec] * n_in,
         out_specs=[spec] * n_out,
         interpret=interpret,
@@ -264,27 +277,8 @@ def relax_z_direct_multi(ds_u8: list, relax_dirs: tuple,
 def relax_z_direct(d_u8: jax.Array, relax_dirs: tuple,
                    interpret: bool = False):
     """z relaxation with lines on the *leading* axis (no transposes):
-    bricks are (Z, ty, Xp) and the incremental rolls run along axis 0
-    (whole-vreg moves — cheap and static)."""
-    Z, Y, X = d_u8.shape
-    Zp = -(-Z // 8) * 8
-    Xp = -(-X // 128) * 128
-    ty = _brick_rows(Zp, Xp, len(relax_dirs))
-    Ypad = -(-Y // ty) * ty
-    t = _pad_to(d_u8, (Zp, Ypad, Xp))
-    n_out = len(relax_dirs)
-    kern = functools.partial(_relax_kernel, Lp=Zp, axis=0,
-                             relax_dirs=tuple(relax_dirs))
-    outs = pl.pallas_call(
-        kern,
-        out_shape=[jax.ShapeDtypeStruct((Zp, Ypad, Xp), jnp.uint8)] * n_out,
-        grid=(Ypad // ty,),
-        in_specs=[pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))],
-        out_specs=[pl.BlockSpec((Zp, ty, Xp), lambda b: (0, b, 0))] * n_out,
-        interpret=interpret,
-    )(t)
-    outs = outs if isinstance(outs, (list, tuple)) else [outs]
-    return [o[:Z, :Y, :X] for o in outs]
+    incremental rolls along axis 0 (whole-vreg moves — cheap and static)."""
+    return relax_z_direct_multi([d_u8], relax_dirs, interpret=interpret)
 
 
 def relax_z(d_u8: jax.Array, relax_dirs: tuple, interpret: bool = False):
