@@ -143,7 +143,10 @@ class Engine:
         # compile service is flaky — on a compile failure for a new map
         # shape, fall back to the XLA transform for this engine (same
         # results, ~2-3× slower update) instead of dying.
-        state = {"pallas_dt": jax.devices()[0].platform != "cpu"}
+        import os
+
+        state = {"pallas_dt": jax.devices()[0].platform != "cpu"
+                 and not os.environ.get("VKV_NO_PALLAS_DT")}
 
         def build_maps():
             occ = occupancy_map(
