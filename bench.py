@@ -26,7 +26,35 @@ import sys
 import time
 
 
+def _watchdog(timeout_s: float):
+    """The relay/device occasionally wedges mid-run (ops never complete;
+    only killing the client frees it). If the bench hasn't finished within
+    ``timeout_s``, re-exec this process (fresh client, device unwedges);
+    give up with a nonzero exit after two retries."""
+    import threading
+
+    done = threading.Event()
+
+    def guard():
+        if done.wait(timeout_s):
+            return
+        n = int(os.environ.get("BENCH_RETRY", "0"))
+        if n < 2:
+            os.environ["BENCH_RETRY"] = str(n + 1)
+            sys.stderr.write(
+                f"bench watchdog: no result in {timeout_s:.0f}s; "
+                f"re-exec (attempt {n + 1}/2)\n")
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        sys.stderr.write("bench watchdog: giving up\n")
+        os._exit(3)
+
+    threading.Thread(target=guard, daemon=True).start()
+    return done
+
+
 def main():
+    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")))
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
@@ -99,6 +127,7 @@ def main():
         "orbit_deg_per_frame": orbit,
         "stages": stages,
     }
+    done.set()
     print(json.dumps(result))
 
 
