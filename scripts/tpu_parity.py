@@ -38,7 +38,7 @@ def render(renderer, dataset, skipmode, width, height, scale, vol_u8):
     cam = benchmark_camera(aspect=width / height)
     out = eng.render(cam, width, height)
     color = np.asarray(out.color)
-    return color, eng.last_renderer
+    return color, getattr(eng, "last_renderer", renderer)
 
 
 def main():
