@@ -54,7 +54,7 @@ def _watchdog(timeout_s: float):
 
 
 def main():
-    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")))
+    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1200")))
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
