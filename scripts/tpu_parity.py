@@ -52,8 +52,16 @@ def main():
         "PARITY_CONFIGS", "beetle:2,beetle-grad:2,present:2,beetle:1"
     ).split(",")
 
+    out_path = os.environ.get("PARITY_OUT", "docs/parity_r2.json")
     results = {}
+    if os.path.exists(out_path):
+        # Incremental: the relay crashes mid-run; keep completed configs.
+        with open(out_path) as fh:
+            results = json.load(fh)
     for cfg in configs:
+        if cfg in results:
+            print(f"{cfg}: already done", flush=True)
+            continue
         dataset, skipmode = cfg.split(":")
         skipmode = int(skipmode)
         t0 = time.time()
@@ -78,11 +86,10 @@ def main():
             wall_s=round(time.time() - t0, 1),
         )
         print(f"{cfg}: {results[cfg]}", flush=True)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
 
-    out_path = os.environ.get("PARITY_OUT", "docs/parity_r2.json")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=1)
     print(f"wrote {out_path}")
 
 
