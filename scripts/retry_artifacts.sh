@@ -15,11 +15,11 @@ for i in $(seq 1 12); do
     [ -s /tmp/orbit_result.json ] || rm -f /tmp/orbit_result.json
   fi
   echo "[$(date +%H:%M:%S)] attempt $i: parity" >> $LOG
-  if [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null)" -lt 4 ]; then
+  if [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null || echo 0)" -lt 4 ]; then
     timeout 2700 python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
   fi
   if [ -f /tmp/orbit_result.json ] && \
-     [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null)" -ge 4 ]; then
+     [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null || echo 0)" -ge 4 ]; then
     echo "[$(date +%H:%M:%S)] both artifacts captured" >> $LOG
     cp /tmp/orbit_result.json docs/orbit_r2.json
     exit 0

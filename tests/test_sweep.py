@@ -215,3 +215,27 @@ def test_pallas_gradient_tf_matches_xla_sweep():
     got_c = np.asarray(out.color)
     assert ref_c[..., 3].max() > 0.05          # non-trivial content
     assert np.abs(got_c - ref_c).max() < 1e-4
+
+
+@pytest.mark.parametrize("eye", [(5.5, 1.5, 8.0), (-4.5, 2.5, 8.0)])
+def test_pallas_distance_leap_diagonal_view(eye):
+    """Diagonal views (|wu| ~ 0.6-0.7): leap drift across map planes is the
+    regime where an under-dilated culling window can skip occupied cells
+    (round-2 review finding). Leaping must still not change the image."""
+    from vkvolume_tpu.render.sweep_pallas import PallasUnsupported, sweep_pallas
+
+    vol, tf, u, rays, occ, pvm = _pallas_setup(eye=eye)
+    p = sweep_mod.principal_axis(rays)
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    dist = isotropic_distance(occ)
+    dist_t = sweep_mod.transpose_for_axis(dist, p)
+    occ_t = sweep_mod.transpose_for_axis(occ, p)
+    try:
+        out = sweep_pallas(vol_t, dist_t, tf, rays, u, pvm, p_axis=p,
+                           ert=False, interpret=True, dist_leap=True)
+    except PallasUnsupported:
+        pytest.skip("view exceeds kernel footprint limits at this geometry")
+    ref = sweep_mod.sweep(vol_t, None, occ_t, tf, rays, u, pvm, p_axis=p,
+                          skipping=True, early_ray_termination=False)
+    assert np.asarray(ref.color)[..., 3].max() > 0.05
+    assert np.abs(np.asarray(out.color) - np.asarray(ref.color)).max() < 1e-4

@@ -225,7 +225,9 @@ def scan_and_relax_multi(occ_u8: jax.Array, scan_dirs: tuple,
     Yp = -(-Y // 8) * 8
     Xp = -(-X // 128) * 128
     n_out = len(scan_dirs) * len(relax_dirs)
-    tz = _brick_rows(Yp, Xp, len(relax_dirs))
+    # Budget for ALL outputs + per-scan live state (the helper's compile
+    # reliability is the binding constraint — see _VMEM_BUDGET).
+    tz = _brick_rows(Yp, Xp, n_out)
     Zp = -(-Z // tz) * tz
     occ_p = _pad_to(occ_u8, (Zp, Yp, Xp))
     kern = functools.partial(_scan_relax_multi_kernel, Yp=Yp, Xp=Xp,

@@ -219,7 +219,14 @@ def synthesize(ds: BenchDataset, seed: int = 0, scale: float = 1.0,
         return vol
 
     w, h, d = (max(8, int(round(e * scale))) for e in ds.extent)
-    rng = np.random.default_rng(seed + (hash(base) % 1000))
+    # Stable per-dataset salt: str hash() is randomised per process
+    # (PYTHONHASHSEED), which would silently make "deterministic" volumes
+    # differ between interpreter runs under the same cache key. (The v3
+    # .cache artifacts on this machine predate this fix; they remain the
+    # canon for the round-2 CSVs.)
+    import zlib
+
+    rng = np.random.default_rng(seed + (zlib.crc32(base.encode()) % 1000))
 
     # Specimen at up to quarter resolution (structure is smooth), upsampled.
     cs = (max(12, d // 4), max(12, h // 4), max(12, w // 4))

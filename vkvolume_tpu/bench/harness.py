@@ -267,7 +267,7 @@ def run_sweep(
                 for row in csv.DictReader(fh):
                     done.add((row["image"], int(row["blocksize"]),
                               float(row["gmin"]), float(row["gmax"])))
-        elif True:
+        else:
             with open(path, "w", newline="") as fh:
                 csv.writer(fh).writerow(CSV_COLUMNS)
         for key in dataset_keys:

@@ -207,6 +207,7 @@ class Engine:
         sync(maps)
         stats.map_update_ms = (time.perf_counter() - t0) * 1e3 / runs
         volume.dist_maps = maps
+        volume._maps_version = getattr(volume, "_maps_version", 0) + 1
         return stats
 
     def set_skipping_type(self, st: SkippingType) -> None:
@@ -353,9 +354,11 @@ class Engine:
         # pays only host-side analytic math (render/plan.py).
         use_depth = self.options.depth_attachment and depth_image is not None
         cam_key = (camera.view.tobytes(), camera.proj.tobytes(),
-                   float(self.options.clip_distance), height, width,
-                   use_depth and id(depth_image))
-        pose = cache.get(("pose", cam_key))
+                   float(self.options.clip_distance), height, width)
+        # Depth-clipped frames are never pose-cached: the depth buffer's
+        # contents change per frame (and id() can be recycled), so cached
+        # rays would clip against stale depths.
+        pose = None if use_depth else cache.get(("pose", cam_key))
         if pose is None:
             uniforms = make_uniforms(
                 camera,
@@ -370,14 +373,15 @@ class Engine:
                 rays = make_rays(uniforms, height, width,
                                  depth_image=depth_image, use_depth=use_depth)
             pose = dict(uniforms=uniforms, view=view, rays=rays)
-            # Bound the pose cache (an orbiting camera would grow it
-            # indefinitely; dropping it only costs host-side re-analysis).
-            keys = [k for k in cache if isinstance(k, tuple)
-                    and k[0] == "pose"]
-            if len(keys) > 64:
-                for k in keys:
-                    del cache[k]
-            cache[("pose", cam_key)] = pose
+            if not use_depth:
+                # Bound the pose cache (an orbiting camera would grow it
+                # indefinitely; dropping it only costs host-side re-analysis).
+                keys = [k for k in cache if isinstance(k, tuple)
+                        and k[0] == "pose"]
+                if len(keys) > 64:
+                    for k in keys:
+                        del cache[k]
+                cache[("pose", cam_key)] = pose
         uniforms, view, rays = pose["uniforms"], pose["view"], pose["rays"]
         if view is None or view["mixed"]:
             return None  # caller falls back to the per-ray marcher
@@ -399,7 +403,9 @@ class Engine:
         dist_leap = self.options.skipping_type in (
             SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE)
         if volume.dist_maps is not None:
-            occ_key = ("occ", p, id(volume.dist_maps))
+            # Keyed on a monotonic rebuild counter, not id() (array ids can
+            # be recycled after GC, silently serving stale maps).
+            occ_key = ("occ", p, getattr(volume, "_maps_version", 0))
             occ_t = cache.get(occ_key)
             if occ_t is None:
                 src = (volume.dist_maps[0] if volume.dist_maps.shape[0] == 1

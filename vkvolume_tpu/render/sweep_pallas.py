@@ -163,9 +163,27 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
         """Min pooled map value over the tile's (dilated) footprint on slab
         k's map planes (coarse_ref[m] is pre-min'd with plane m+1): 0 means
         an occupied cell is in the footprint (must sample); d ≥ 1 means
-        every cell within Chebyshev d-1 of the footprint is empty."""
+        every cell within Chebyshev d-1 of the footprint is empty.
+
+        The footprint is the UNION of the windows at slab k and at the slab
+        two map planes ahead (in the travel direction): a leap of P planes
+        drifts the footprint laterally, and measuring the ball from the
+        pair-wide window leaves a full plane of drift margin for
+        ``leap_target``'s P = floor((d-1)/rate) (the per-slab window alone
+        under-covers by ~one plane of drift — intermediate skipped slabs in
+        the same plane pair would escape it laterally on diagonal views)."""
         kc = jnp.clip(k, 0, n_slabs - 1)
-        qu_lo, qu_hi, qv_lo, qv_hi = qu_bounds(kc)
+        # Slabs per two map planes along p.
+        d_pair = jnp.ceil(2.0 * bp_p.astype(f) / (ds * Np.astype(f))
+                          ).astype(jnp.int32)
+        k2 = jnp.clip(kc + jnp.where(sgn_i > 0, d_pair, -d_pair),
+                      0, n_slabs - 1)
+        qu_lo1, qu_hi1, qv_lo1, qv_hi1 = qu_bounds(kc)
+        qu_lo2, qu_hi2, qv_lo2, qv_hi2 = qu_bounds(k2)
+        qu_lo = jnp.minimum(qu_lo1, qu_lo2)
+        qu_hi = jnp.maximum(qu_hi1, qu_hi2)
+        qv_lo = jnp.minimum(qv_lo1, qv_lo2)
+        qv_hi = jnp.maximum(qv_hi1, qv_hi2)
         m0 = jnp.clip(k0_of(kc) // bp_p, 0, mp_c - 1)
         cv_lo = jnp.clip(
             jnp.floor((qv_lo - 1.0) * inv_cvox_v).astype(jnp.int32), 0, CV - 1)
@@ -859,7 +877,14 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
     from . import plan as plan_mod
 
     view = plan_mod.analyze_view(uniforms, height, width)
-    if view is not None and not view["mixed"] and view["p_axis"] == p_axis:
+    if view is not None and view["mixed"]:
+        # Rays disagree on the principal-axis direction sign (camera inside
+        # the volume, wide FOV): one global slab order cannot composite
+        # every ray front-to-back. The device-stats fallback cannot detect
+        # this, so refuse the plan here — callers fall back to the per-ray
+        # marcher (the engine) or raise PallasUnsupported (render_frame).
+        return None
+    if view is not None and view["p_axis"] == p_axis:
         return plan_from_stats(view, uniforms, p_axis, vol_shape_t, height,
                                width, max_oversample)
     st = stats_to_dict(_plan_stats_jit(rays, p_axis))
@@ -1042,17 +1067,22 @@ def _frame_body(
         chans, rays, grid_params, hcoef, tf, grid_out.iterations,
         p_axis=p_axis, Hi=Hi, R_warp=R_warp, test=test, RECT_A=RECT_A,
         RECT_B=RECT_B, interpret=interpret, dim_max=max(Np, Sv, Su),
+        H_total=H * n_shards,
     )
 
 
 def _pixel_stage(
     chans, rays: RaySetup, grid_params, hcoef, tf: TFParams, iterations,
     *, p_axis, Hi, R_warp, test, RECT_A, RECT_B, interpret, dim_max,
+    H_total=None,
 ):
     """Warp + pixel-space outputs (the frame's second half — split out so
-    the benchmark can time the grid and pixel stages separately)."""
+    the benchmark can time the grid and pixel stages separately).
+    ``H_total``: full image height (differs from the local row count under
+    shard_map — the homography's validity window is global)."""
     f = jnp.float32
     H, W = rays.valid.shape
+    H_img = H if H_total is None else H_total
     v_ax, u_ax = _SLICE_AXES[p_axis]
     wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
                           grid_params[3])
@@ -1091,6 +1121,17 @@ def _pixel_stage(
                        jnp.where(dd < 0, -1e-20, 1e-20), dd)
         wu_a = (au * ihat + bu * jj + cu_) / dd
         xa = (wu_a - wu0) / dwu - 0.5
+        # Mask pass-A positions outside the solved-image-row validity
+        # window — the SAME window the plan's feasibility span used
+        # (render/plan.py:two_pass_warp_plan). Past the homography horizon
+        # ihat blows up while xa tends to a finite limit; unmasked, those
+        # lanes drag the tile's aligned DMA base away from the valid lanes
+        # (wrong texels for the whole tile). No valid pixel consumes a
+        # pass-A row whose ihat is outside the image + margin, so masking
+        # to the -10 sentinel is exact.
+        ok_a = (jnp.isfinite(xa) & (ihat >= f(-16.0))
+                & (ihat <= f(H_img) + f(15.0)))
+        xa = jnp.where(ok_a, xa, f(-10.0))
         Hp = -(-H // 128) * 128
         gy_t = jnp.pad(jnp.swapaxes(gy, 0, 1), ((0, 0), (0, Hp - H)),
                        constant_values=-10.0)
@@ -1139,7 +1180,7 @@ _frame_jit = functools.partial(
 _pixel_stage_jit = functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "R_warp", "test", "RECT_A", "RECT_B",
-                     "interpret", "dim_max"),
+                     "interpret", "dim_max", "H_total"),
 )(_pixel_stage)
 
 
