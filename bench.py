@@ -82,29 +82,18 @@ def main():
         # Headline number = the real shaded render with ERT on (the
         # user-facing configuration), not the sample-count test image.
         test=Test.NONE, ert=True, renderer=renderer, orbit_deg=orbit,
+        keep_engine=breakdown and renderer == "pallas",
     )
     wall = time.time() - t0
 
     stages = None
-    if breakdown and renderer == "pallas":
+    if r.engine is not None:
+        # Reuse the timed engine (same config, volume and jit cache — no
+        # second device setup).
         from vkvolume_tpu.bench.harness import benchmark_camera, stage_breakdown
-        from vkvolume_tpu.engine import Engine, RenderOptions, from_array
-        from vkvolume_tpu.bench.datasets import DATASETS, synthesize
-        from vkvolume_tpu.options import SkippingType, VolumeOptions
 
-        ds = DATASETS[dataset]
-        eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
-                     renderer="pallas")
-        eng.options.early_ray_termination = True
-        vol_u8 = synthesize(ds, scale=scale)
-        opts = VolumeOptions(intensity_min=ds.imin, intensity_max=ds.imax,
-                             gradient_min=ds.gmin, gradient_max=ds.gmax)
-        v = from_array(vol_u8, opts, block_size=4, name=ds.filename)
-        d, h, w = vol_u8.shape
-        v.set_scale((100.0 / max(d, h, w),) * 3)
-        eng.add_volume(v)
         stages = stage_breakdown(
-            eng, benchmark_camera(aspect=width / height), width, height)
+            r.engine, benchmark_camera(aspect=width / height), width, height)
 
     ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))

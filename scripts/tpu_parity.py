@@ -21,20 +21,11 @@ from vkvolume_tpu.utils import enable_compile_cache
 
 
 def render(renderer, dataset, skipmode, width, height, scale, vol_u8):
-    from vkvolume_tpu.bench.datasets import DATASETS
-    from vkvolume_tpu.bench.harness import benchmark_camera
-    from vkvolume_tpu.engine import Engine, RenderOptions, from_array
-    from vkvolume_tpu.options import SkippingType, VolumeOptions
+    from vkvolume_tpu.bench.harness import benchmark_camera, make_engine
 
-    ds = DATASETS[dataset]
-    opts = VolumeOptions(intensity_min=ds.imin, intensity_max=ds.imax,
-                         gradient_min=ds.gmin, gradient_max=ds.gmax)
-    eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
-                 renderer=renderer)
-    v = from_array(vol_u8, opts, block_size=4, name=ds.filename)
-    d, h, w = vol_u8.shape
-    v.set_scale((100.0 / max(d, h, w),) * 3)
-    eng.add_volume(v)
+    eng, _, _, _ = make_engine(dataset, skipmode, 4, scale=scale,
+                               volume_u8=vol_u8, renderer=renderer,
+                               benchmark_mode=False)
     cam = benchmark_camera(aspect=width / height)
     out = eng.render(cam, width, height)
     color = np.asarray(out.color)

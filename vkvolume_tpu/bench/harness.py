@@ -55,12 +55,52 @@ class BenchResult:
     load_s: float = 0.0
     rep_ms: tuple = ()        # per-repetition ms/frame (spread diagnostics)
     renderer_used: str = ""
+    engine: object = None     # set when keep_engine=True (stage breakdown)
 
     def row(self):
         return [self.image, self.skipmode, self.blocksize,
                 round(self.occupancy, 6), round(self.framerate, 2),
                 round(self.update, 4), self.imin, self.imax, self.gmin,
                 self.gmax]
+
+
+def make_engine(
+    dataset_key: str,
+    skipmode: int,
+    blocksize: int = 4,
+    *,
+    scale: float = 1.0,
+    seed: int = 0,
+    volume_u8=None,
+    renderer: str = "pallas",
+    benchmark_mode: bool = True,
+    test: Test | None = None,
+    ert: bool | None = None,
+):
+    """Engine + loaded synthetic volume for one benchmark config (the setup
+    shared by run_config, bench.py's stage breakdown, and tpu_parity.py).
+    Returns (engine, add_volume stats, volume array, synthesis seconds)."""
+    ds = DATASETS[dataset_key]
+    t_load = time.perf_counter()
+    if volume_u8 is None:
+        volume_u8 = synthesize(ds, seed=seed, scale=scale)
+    load_s = time.perf_counter() - t_load
+
+    opts = VolumeOptions(
+        intensity_min=ds.imin, intensity_max=ds.imax,
+        gradient_min=ds.gmin, gradient_max=ds.gmax,
+    )
+    eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
+                 benchmark_mode=benchmark_mode, renderer=renderer)
+    if test is not None:
+        eng.options.test = test
+    if ert is not None:
+        eng.options.early_ray_termination = ert
+    vol = from_array(volume_u8, opts, block_size=blocksize, name=ds.filename)
+    d, h, w = volume_u8.shape
+    vol.set_scale((100.0 / max(d, h, w),) * 3)
+    stats = eng.add_volume(vol)
+    return eng, stats, volume_u8, load_s
 
 
 def run_config(
@@ -78,27 +118,13 @@ def run_config(
     ert: bool | None = None,
     renderer: str = "pallas",
     orbit_deg: float = 0.0,
+    keep_engine: bool = False,
 ) -> BenchResult:
     ds = DATASETS[dataset_key]
-    t_load = time.perf_counter()
-    if volume_u8 is None:
-        volume_u8 = synthesize(ds, seed=seed, scale=scale)
-    load_s = time.perf_counter() - t_load
-
-    opts = VolumeOptions(
-        intensity_min=ds.imin, intensity_max=ds.imax,
-        gradient_min=ds.gmin, gradient_max=ds.gmax,
+    eng, stats, volume_u8, load_s = make_engine(
+        dataset_key, skipmode, blocksize, scale=scale, seed=seed,
+        volume_u8=volume_u8, renderer=renderer, test=test, ert=ert,
     )
-    eng = Engine(RenderOptions(skipping_type=SkippingType(skipmode)),
-                 benchmark_mode=True, renderer=renderer)
-    if test is not None:
-        eng.options.test = test
-    if ert is not None:
-        eng.options.early_ray_termination = ert
-    vol = from_array(volume_u8, opts, block_size=blocksize, name=ds.filename)
-    d, h, w = volume_u8.shape
-    vol.set_scale((100.0 / max(d, h, w),) * 3)
-    stats = eng.add_volume(vol)
 
     aspect = width / height
 
@@ -154,6 +180,7 @@ def run_config(
         frame_ms=frame_ms, load_s=load_s,
         rep_ms=tuple(round(r, 3) for r in reps),
         renderer_used=getattr(eng, "last_renderer", ""),
+        engine=eng if keep_engine else None,
     )
 
 
