@@ -10,7 +10,7 @@ for i in $(seq 1 12); do
   echo "[$(date +%H:%M:%S)] attempt $i: orbit" >> $LOG
   if [ ! -f /tmp/orbit_result.json ]; then
     timeout 2700 env BENCH_ORBIT=2 BENCH_BREAKDOWN=0 BENCH_WATCHDOG_S=2400 \
-      python bench.py > /tmp/orbit_try.log 2>/dev/null
+      python bench.py > /tmp/orbit_try.log 2>>/tmp/orbit_err.log
     grep '"unit"' /tmp/orbit_try.log | tail -1 > /tmp/orbit_result.json
     [ -s /tmp/orbit_result.json ] || rm -f /tmp/orbit_result.json
   fi
