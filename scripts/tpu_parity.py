@@ -39,8 +39,13 @@ def main():
     width = int(os.environ.get("PARITY_W", "1920"))
     height = int(os.environ.get("PARITY_H", "1080"))
     scale = float(os.environ.get("PARITY_SCALE", "1.0"))
+    # Config syntax dataset:skipmode[:scale]. Gradient configs run the
+    # marcher oracle at half scale: the full-scale gradient marcher is a
+    # single multi-minute device program and repeatably CRASHES the TPU
+    # worker (device program watchdog).
     configs = os.environ.get(
-        "PARITY_CONFIGS", "beetle:2,beetle-grad:2,present:2,beetle:1"
+        "PARITY_CONFIGS",
+        "beetle:2,beetle-grad:2:0.5,present:2,beetle:1"
     ).split(",")
 
     out_path = os.environ.get("PARITY_OUT", "docs/parity_r2.json")
@@ -53,20 +58,21 @@ def main():
         if cfg in results:
             print(f"{cfg}: already done", flush=True)
             continue
-        dataset, skipmode = cfg.split(":")
-        skipmode = int(skipmode)
+        parts = cfg.split(":")
+        dataset, skipmode = parts[0], int(parts[1])
+        cfg_scale = float(parts[2]) if len(parts) > 2 else scale
         t0 = time.time()
-        vol = synthesize(DATASETS[dataset], scale=scale)
+        vol = synthesize(DATASETS[dataset], scale=cfg_scale)
         got, used = render("pallas", dataset, skipmode, width, height,
-                           scale, vol)
+                           cfg_scale, vol)
         ref, _ = render("marcher", dataset, skipmode, width, height,
-                        scale, vol)
+                        cfg_scale, vol)
         diff = np.abs(got - ref)
         a_ref = ref[..., 3]
         results[cfg] = dict(
             renderer_used=used,
             image=f"{width}x{height}",
-            scale=scale,
+            scale=cfg_scale,
             max_abs_diff=round(float(diff.max()), 5),
             mean_abs_diff=round(float(diff.mean()), 7),
             pct_pixels_gt_8_of_255=round(
