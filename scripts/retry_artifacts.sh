@@ -1,12 +1,22 @@
 #!/bin/bash
-# Unattended retry chain for the round-2 tail artifacts (orbit bench JSON,
-# TPU parity JSON). Each attempt is a fresh client process — the wedged
+# Unattended retry chain for the round-2 tail artifacts (TPU parity JSON,
+# orbit bench JSON). Each attempt is a fresh client process — the wedged
 # relay frees when the previous client dies, and some attempts succeed.
+# Parity runs first (shorter, higher value); the worker needs recovery
+# time after a crash, hence the inter-attempt sleep.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/retry_artifacts.log
 
+parity_done() {
+  [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null || echo 0)" -ge 4 ]
+}
+
 for i in $(seq 1 12); do
+  echo "[$(date +%H:%M:%S)] attempt $i: parity" >> $LOG
+  if ! parity_done; then
+    timeout 2700 python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
+  fi
   echo "[$(date +%H:%M:%S)] attempt $i: orbit" >> $LOG
   if [ ! -f /tmp/orbit_result.json ]; then
     timeout 2700 env BENCH_ORBIT=2 BENCH_BREAKDOWN=0 BENCH_WATCHDOG_S=2400 \
@@ -14,19 +24,13 @@ for i in $(seq 1 12); do
     grep '"unit"' /tmp/orbit_try.log | tail -1 > /tmp/orbit_result.json
     [ -s /tmp/orbit_result.json ] || rm -f /tmp/orbit_result.json
   fi
-  echo "[$(date +%H:%M:%S)] attempt $i: parity" >> $LOG
-  if [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null || echo 0)" -lt 4 ]; then
-    timeout 2700 python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
-  fi
-  if [ -f /tmp/orbit_result.json ] && \
-     [ "$(grep -c wall_s docs/parity_r2.json 2>/dev/null || echo 0)" -ge 4 ]; then
+  if [ -f /tmp/orbit_result.json ] && parity_done; then
     echo "[$(date +%H:%M:%S)] both artifacts captured" >> $LOG
     cp /tmp/orbit_result.json docs/orbit_r2.json
     exit 0
   fi
-  sleep 120
+  sleep 180
 done
 echo "[$(date +%H:%M:%S)] gave up" >> $LOG
-# Keep whatever landed.
 [ -f /tmp/orbit_result.json ] && cp /tmp/orbit_result.json docs/orbit_r2.json
 exit 0
