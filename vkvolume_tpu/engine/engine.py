@@ -308,7 +308,7 @@ class Engine:
         # lock-step loop's trip count per strip is the strip's own worst
         # ray, not the frame's (less divergence waste).
         n_px = height * width
-        if n_px >= 512 * 512 and volume.density.size >= (1 << 26):
+        if n_px >= 512 * 512:
             n_bands = min(8, max(2, n_px // (256 * 1024)))
             rows = [height * b // n_bands for b in range(n_bands + 1)]
             parts = [
@@ -532,7 +532,7 @@ class Engine:
         # identical output; a full-scale single-program sweep runs minutes
         # and the relay's device watchdog kills the TPU worker).
         n_px = height * width
-        if n_px >= 512 * 512 and volume.density.size >= (1 << 26):
+        if n_px >= 512 * 512:
             n_bands = min(8, max(2, n_px // (256 * 1024)))
             rows_ix = [height * b // n_bands for b in range(n_bands + 1)]
             parts = [
