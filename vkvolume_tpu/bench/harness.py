@@ -147,14 +147,17 @@ def run_config(
     out.color.block_until_ready()
     float(out.color.ravel()[0])
     if orbit_deg:
-        # Same azimuth RANGE as the timed frames (plan statics depend on the
-        # view), nudged by a fraction of a step so every timed pose is still
-        # a pose-cache miss.
-        span = orbit_deg * frames * 5
-        for az in np.linspace(30.0 + 0.37 * orbit_deg,
-                              30.0 + span + 0.37 * orbit_deg, 17):
+        # Warm EVERY timed pose's jit specialisation: plan statics (Hi/Wi
+        # quanta, rect widths) change with azimuth more often than a coarse
+        # sample catches, and a mid-timing Mosaic compile costs seconds.
+        # The 0.43-step nudge keeps every timed pose a pose-cache miss
+        # while hitting the same quantised statics.
+        for i in range(frames * 5):
+            az = 30.0 + orbit_deg * (i + 0.43)
             out = eng.render(benchmark_camera(aspect, azimuth=az),
                              width, height)
+            if i % 10 == 9:
+                out.color.block_until_ready()
         out.color.block_until_ready()
         float(out.color.ravel()[0])
     reps = []
