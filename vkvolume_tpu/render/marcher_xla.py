@@ -20,8 +20,9 @@ done. ESS shortens the iteration count for every ray. The shader ``#define``
 variants (src/volume_render_subpass.cpp:56-93) are jit static arguments.
 
 This marcher is the correctness oracle (bit-level state machine parity,
-sample-count parity) and runs on CPU and TPU; the Pallas kernel
-(marcher_pallas.py) is the tuned TPU implementation of the same semantics.
+sample-count parity) and runs on CPU and TPU; the production TPU path is the
+w-grid plane sweep (sweep_pallas.py + warp_pallas.py), tested against this
+oracle.
 """
 
 from __future__ import annotations
