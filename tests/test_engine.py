@@ -244,3 +244,32 @@ def test_texture_tf_matches_closed_form(renderer):
     assert np.abs(a - b).max() < 0.06
     assert np.abs(a - b).mean() < 5e-3
     assert not np.array_equal(a, b)  # the quantised path really ran
+
+
+def test_live_octants_subset_and_aniso_image_matches_iso():
+    """Anisotropic skipmode in the sweep path: the live-octant reduction
+    (engine._live_octants) selects a strict subset of the 8 maps for a
+    directional view, and the rendered image matches the isotropic one
+    (octant maps only lengthen leaps; the occupied set is identical)."""
+    from vkvolume_tpu.engine.engine import _live_octants
+
+    eng_a, vol_a, _ = _engine("sweep",
+                              skipping=SkippingType.ANISOTROPIC_DISTANCE)
+    eng_i, _, _ = _engine("sweep", skipping=SkippingType.DISTANCE)
+    out_a = eng_a.render(CAM, 32, 32)
+    out_i = eng_i.render(CAM, 32, 32)
+    np.testing.assert_allclose(np.asarray(out_a.color),
+                               np.asarray(out_i.color), atol=1e-5)
+
+    # The cached pose's view must reduce the octant set (azimuth 30 /
+    # elevation 20 → one sign per axis at most pixels; never all 8).
+    cache = vol_a._sweep_cache
+    views = [pose["view"] for key, pose in cache.items()
+             if isinstance(key, tuple) and key[0] == "pose"]
+    assert views and views[0] is not None
+    octs = _live_octants(views[0])
+    assert len(octs) < 8
+    assert all(0 <= i < 8 for i in octs)
+    # Mixed/None views fall back to all 8.
+    assert _live_octants(None) == tuple(range(8))
+    assert _live_octants({"mixed": True}) == tuple(range(8))

@@ -239,3 +239,101 @@ def test_pallas_distance_leap_diagonal_view(eye):
                           skipping=True, early_ray_termination=False)
     assert np.asarray(ref.color)[..., 3].max() > 0.05
     assert np.abs(np.asarray(out.color) - np.asarray(ref.color)).max() < 1e-4
+
+
+def _frame_setup(azimuth, *, gradient=False, n=40):
+    """Volume + camera + transposed arrays for a render_frame call."""
+    from vkvolume_tpu.accel import gradient_map
+
+    vol = sphere_shell_volume(n)
+    if gradient:
+        tf = tf_params(intensity_min=0.1, gradient_min=0.05, gradient_max=0.6)
+        grad = gradient_map(jnp.asarray(vol), 1.0, use_gradient=True)
+    else:
+        tf = tf_params(intensity_min=0.1, gradient_min=0.0, gradient_max=0.0)
+        grad = None
+    node = math3d.scale((100.0 / n,) * 3)
+    img_t = math3d.scale((float(n),) * 3)
+    cam = orbit_camera(radius=150.0, azimuth_deg=azimuth, elevation_deg=15,
+                      aspect=128 / 32)
+    u = make_uniforms(cam, node, img_t, 50.0, (4.0, 4.0, 4.0))
+    rays = make_rays(u, 32, 128)
+    m = -(-n // 4)
+    occ = occupancy_map(jnp.asarray(vol), grad, tf, (m, m, m))
+    dist = isotropic_distance(occ)
+    pvm = jnp.asarray(
+        (cam.proj.astype(np.float64) @ cam.view.astype(np.float64)
+         @ (node @ img_t).astype(np.float64)).astype(np.float32))
+    p = sweep_mod.principal_axis(rays)
+    vol_t = sweep_mod.transpose_for_axis(jnp.asarray(vol), p)
+    grad_t = (sweep_mod.transpose_for_axis(grad, p)
+              if grad is not None else None)
+    dist_t = sweep_mod.transpose_for_axis(dist, p)
+    return vol_t, grad_t, dist_t, tf, rays, u, pvm, p
+
+
+@pytest.mark.parametrize("azimuth,gradient,oversample", [
+    (25.0, False, 1.0),     # sgn > 0, aligned
+    (205.0, False, 1.0),    # sgn < 0, aligned
+    (25.0, True, 1.0),      # gradient-modulated TF
+    (25.0, False, 1.5),     # non-aligned (plane-pair lerp path)
+])
+def test_brick_kernel_matches_per_slab(monkeypatch, azimuth, gradient,
+                                       oversample):
+    """sweep_bricks (brick-batched slab loop) against the round-2 per-slab
+    separable kernel: identical sampling arithmetic, so outputs match to
+    float tolerance; sampled-slab sets may differ only on slabs whose
+    windows are empty (which contribute zero alpha for monotone TFs)."""
+    from vkvolume_tpu.render.sweep_pallas import render_frame
+
+    vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(
+        azimuth, gradient=gradient)
+
+    out_brick = render_frame(vol_t, dist_t, tf, rays, u, pvm, grad_t,
+                             p_axis=p, ert=True, interpret=True,
+                             dist_leap=True, oversample=oversample)
+    monkeypatch.setenv("VKV_NO_BRICK", "1")
+    out_slab = render_frame(vol_t, dist_t, tf, rays, u, pvm, grad_t,
+                            p_axis=p, ert=True, interpret=True,
+                            dist_leap=True, oversample=oversample)
+    b = np.asarray(out_brick.color)
+    s = np.asarray(out_slab.color)
+    assert s[..., 3].max() > 0.3           # non-trivial content
+    tol = 2e-3 if gradient else 1e-4
+    assert np.abs(b - s).max() < tol, np.abs(b - s).max()
+    np.testing.assert_allclose(np.asarray(out_brick.depth),
+                               np.asarray(out_slab.depth), atol=1e-3)
+
+
+def test_brick_texture_tf_matches_xla_texture_path():
+    """TRANSFER_FUNCTION_TEXTURE through the brick kernel: the in-kernel
+    quantised closed form must reproduce the XLA sweep's NEAREST texture
+    lookup of the baked 256×256 texture (transfer_function.glsl:36-38)."""
+    from vkvolume_tpu.render.sweep_pallas import render_frame
+    from vkvolume_tpu.tf import bake_texture
+
+    vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(
+        25.0, gradient=True)
+    tex = jnp.asarray(bake_texture(
+        intensity_min=0.1, intensity_max=1.0,
+        gradient_min=0.05, gradient_max=0.6))
+
+    out_tex = render_frame(vol_t, dist_t, tf, rays, u, pvm, grad_t,
+                           p_axis=p, ert=True, interpret=True,
+                           dist_leap=True, texture_tf=True)
+    ref = sweep_mod.sweep(vol_t, grad_t, dist_t, tf, rays, u, pvm,
+                          p_axis=p, skipping=True,
+                          early_ray_termination=True, tf_texture=tex)
+    got = np.asarray(out_tex.color)
+    want = np.asarray(ref.color)
+    assert want[..., 3].max() > 0.2
+    # w-grid resample tolerance (same class as the non-texture frame test).
+    diff = np.abs(got - want)
+    assert (diff > 0.06).mean() < 0.01, diff.max()
+    assert abs(got[..., 3].mean() - want[..., 3].mean()) < 5e-3
+    # And the quantisation itself must differ from the closed form (i.e. the
+    # kernel is actually on the texture path).
+    out_cf = render_frame(vol_t, dist_t, tf, rays, u, pvm, grad_t,
+                          p_axis=p, ert=True, interpret=True,
+                          dist_leap=True, texture_tf=False)
+    assert np.abs(np.asarray(out_cf.color) - got).max() > 1e-5

@@ -28,6 +28,43 @@ from ..options import RenderOptions, SkippingType, Test
 from .volume import Volume
 
 
+def _live_octants(view) -> tuple:
+    """Octant-map indices live in a sweep-able frame.
+
+    Octant convention (volume_render.frag:209, accel/distance.py:178):
+    ``idx = (dz < 0) + 2*(dy < 0) + 4*(dx < 0)`` with direction components
+    ordered (x, y, z). In a non-mixed frame every ray shares the principal
+    direction sign; the u/v direction sign sets follow from the view's
+    wu/wv ranges (d_u = wu * d_p). Falls back to all 8 when the view stats
+    are unavailable."""
+    from ..render.sweep import _SLICE_AXES
+
+    if view is None or view.get("mixed") or not np.isfinite(
+            view.get("wu_lo", np.nan)):
+        return tuple(range(8))
+    sgn = 1 if view["sgn"] >= 0 else -1
+    p = view["p_axis"]
+    v_ax, u_ax = _SLICE_AXES[p]
+
+    def sign_set(lo, hi):
+        s = set()
+        if hi > -1e-9:
+            s.add(sgn)
+        if lo < 1e-9:
+            s.add(-sgn)
+        return s or {1, -1}
+
+    signs = {p: {sgn},
+             u_ax: sign_set(view["wu_lo"], view["wu_hi"]),
+             v_ax: sign_set(view["wv_lo"], view["wv_hi"])}
+    return tuple(
+        i for i in range(8)
+        if ((-1 if i & 4 else 1) in signs[0])
+        and ((-1 if i & 2 else 1) in signs[1])
+        and ((-1 if i & 1 else 1) in signs[2])
+    )
+
+
 @dataclasses.dataclass
 class UpdateStats:
     """Metrics contract of the reference log lines that benchmark.py scrapes
@@ -427,19 +464,29 @@ class Engine:
         # Any map with 0 ⇔ occupied works for slab skipping (distance maps
         # are 0 exactly at occupied cells, occupancy is OCCUPIED=0). For
         # distance maps the Pallas kernel additionally leaps by the map
-        # value (dist_leap); the 8 anisotropic octant maps reduce to the
-        # isotropic Chebyshev map via a per-cell minimum.
+        # value (dist_leap). The 8 anisotropic octant maps reduce to a
+        # min over the octants LIVE in this frame (direction sign sets from
+        # the view analysis): safe per-ray (the min is ≤ the ray's own
+        # octant map, hence conservative), identical occupied set (a cell's
+        # value is 0 in every octant iff it is occupied), and strictly
+        # longer leaps than min-over-all-8 — direction-aware ESS at frame
+        # granularity (volume_render.frag:209's per-ray selection analogue).
         occ_t = None
         dist_leap = self.options.skipping_type in (
             SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE)
         if volume.dist_maps is not None:
+            octs = tuple(range(volume.dist_maps.shape[0]))
+            if volume.dist_maps.shape[0] == 8:
+                octs = _live_octants(view)
             # Keyed on a monotonic rebuild counter, not id() (array ids can
             # be recycled after GC, silently serving stale maps).
-            occ_key = ("occ", p, getattr(volume, "_maps_version", 0))
+            occ_key = ("occ", p, getattr(volume, "_maps_version", 0), octs)
             occ_t = cache.get(occ_key)
             if occ_t is None:
-                src = (volume.dist_maps[0] if volume.dist_maps.shape[0] == 1
-                       else jnp.min(volume.dist_maps, axis=0))
+                maps = volume.dist_maps
+                src = maps[octs[0]]
+                for i in octs[1:]:
+                    src = jnp.minimum(src, maps[i])
                 occ_t = sweep_mod.transpose_for_axis(src, p)
                 cache[occ_key] = occ_t
         tf = self._tf(volume)
@@ -457,10 +504,6 @@ class Engine:
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
                 and height % 8 == 0 and width % 128 == 0
                 and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
-                # Texture-TF lookups need a per-sample 2D gather the sweep
-                # kernel does not implement; the XLA sweep covers the
-                # TRANSFER_FUNCTION_TEXTURE variant.
-                and not self.options.texture_tf
             )
             if pallas_ok:
                 # Host-analytic frame plan (render/plan.py): no device
@@ -488,6 +531,14 @@ class Engine:
                     )
                     hcoef = (_jnp.asarray(plan["hcoef"], _jnp.float32)
                              if plan.get("hcoef") is not None else None)
+                    # The texture-TF variant exists only in the brick
+                    # kernel; when that kernel is infeasible for this view
+                    # the XLA sweep renders the frame.
+                    if self.options.texture_tf and (
+                            plan.get("R_brick") is None
+                            or n_slabs < vol_t.shape[0]):
+                        plan = None
+                if plan is not None:
                     try:
                         out = sp._frame_jit(
                             vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
@@ -500,6 +551,9 @@ class Engine:
                             dist_leap=dist_leap and self.options.skipping_type
                             != SkippingType.NONE and occ_t is not None,
                             RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
+                            tile_h=plan.get("tile_h", 8),
+                            R_brick=plan.get("R_brick"),
+                            texture_tf=self.options.texture_tf,
                         )
                         self.last_renderer = "pallas"
                         self.renderer_counts["pallas"] += 1

@@ -247,6 +247,7 @@ def render_frame_sharded(
         R_sweep=plan["R_sweep"], R_warp=plan["R_warp"], ert=ert, test=test,
         n_slabs=n_slabs, sgn_p=plan["sgn_p"], interpret=interpret,
         dist_leap=dist_leap, RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
+        tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
         n_shards=n, axis_name=RAY_AXIS,
     )
     row = P(RAY_AXIS)

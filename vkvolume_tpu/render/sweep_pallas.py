@@ -35,6 +35,7 @@ zoomed view).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -917,9 +918,20 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
 
     # Quality sizing (median pixel footprint) and the sweep kernel's own
     # LOWER bounds on grid resolution (per-tile source footprint limits).
+    # The u bound reserves the brick kernel's per-brick footprint drift
+    # (8 slabs ≈ 8 voxel planes; render/sweep_bricks.py) so the brick rect
+    # stays feasible — a slightly wider grid, repaid ~8× by the brick loop.
+    Np_s = vol_shape_t[0]
+    wmax_u = max(abs(wu_lo), abs(wu_hi))
+    wmax_v = max(abs(wv_lo), abs(wv_hi))
+    drift_bu = wmax_u * (8.0 / max(Np_s, 1)) * Su
+    drift_bv = wmax_v * (8.0 / max(Np_s, 1)) * Sv
+    brick_wanted = (os.environ.get("VKV_NO_BRICK", "0") != "1"
+                    and drift_bu <= 60.0)
+    denom_u = min(120.0, 124.0 - drift_bu) if brick_wanted else 120.0
     Wi_q = (wu_hi - wu_lo) / max(st["du_q"], 1e-9)
     Hi_q = (wv_hi - wv_lo) / max(st["dv_q"], 1e-9)
-    Wi_k = (wu_hi - wu_lo) * Su * t_max * TILE_W / 120.0
+    Wi_k = (wu_hi - wu_lo) * Su * t_max * TILE_W / denom_u
     Hi_k = (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0
     if not all(np.isfinite(v) for v in (Wi_q, Hi_q, Wi_k, Hi_k)):
         return None
@@ -971,8 +983,25 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     R_warp = cand
                     break
 
+        # Brick-kernel feasibility (render/sweep_bricks.py): the rect must
+        # additionally cover the footprint drift across one 8-slab brick
+        # (assuming ≥1 slab per voxel plane; _frame_body falls back to the
+        # per-slab kernel when n_slabs < Np). Prefer 16-row tiles (per-brick
+        # control work amortised over 2× the pixels).
+        tile_h, R_brick = 8, None
+        if brick_wanted \
+                and 128.0 * dwu * Su * t_max + drift_bu <= RECT_W - 132:
+            for th, cands in ((16, (24, 32, 48, 64)),
+                              (8, (16, 24, 32, 48, 64))):
+                span = th * dwv * Sv * t_max
+                fit = [c for c in cands if span + drift_bv <= c - 10]
+                if fit:
+                    tile_h, R_brick = th, fit[0]
+                    break
+
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
+                    tile_h=tile_h, R_brick=R_brick,
                     RECT_A=None, RECT_B=None, hcoef=None)
         # Two-pass projective warp (render/plan.py): available when the
         # caller provided the host-analytic view stats (span_wv_t) and the
@@ -1005,6 +1034,7 @@ def _frame_body(
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
     n_shards=1, axis_name=None, return_chans=False,
+    tile_h=8, R_brick=None, texture_tf=False,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1038,13 +1068,35 @@ def _frame_body(
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     rays_g = rays_from_dirs(uniforms, dirs)
 
-    grid_out = _sweep_pallas_jit(
-        vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model, grad_t,
-        p_axis=p_axis, R=R_sweep, ert=ert, test=test,
-        count_samples=test == Test.NUM_TEXTURE_SAMPLES,
-        n_slabs=n_slabs, interpret=interpret,
-        separable=True, dist_leap=dist_leap,
-    )
+    # Brick kernel (sweep_bricks.py) whenever the plan proved its rect
+    # feasible and every voxel plane gets ≥1 slab (the plan's drift margins
+    # assume it); otherwise the round-2 per-slab kernel.
+    if R_brick is not None and n_slabs >= vol_t.shape[0] \
+            and Hi_loc % tile_h == 0:
+        from . import sweep_bricks
+
+        grid_out = sweep_bricks._sweep_bricks_jit(
+            vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model,
+            grad_t,
+            p_axis=p_axis, R=R_brick, ert=ert, test=test,
+            count_samples=test == Test.NUM_TEXTURE_SAMPLES,
+            n_slabs=n_slabs, sgn=1 if sgn_p > 0 else -1, tile_h=tile_h,
+            interpret=interpret, dist_leap=dist_leap, texture_tf=texture_tf,
+        )
+    else:
+        if texture_tf:
+            # Only the brick kernel implements the texture-TF variant; the
+            # engine routes texture-TF frames here only when the plan
+            # proved the brick kernel feasible.
+            raise PallasUnsupported("texture TF requires the brick kernel")
+        grid_out = _sweep_pallas_jit(
+            vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model,
+            grad_t,
+            p_axis=p_axis, R=R_sweep, ert=ert, test=test,
+            count_samples=test == Test.NUM_TEXTURE_SAMPLES,
+            n_slabs=n_slabs, interpret=interpret,
+            separable=True, dist_leap=dist_leap,
+        )
 
     num_test = test == Test.NUM_TEXTURE_SAMPLES
     if num_test:
@@ -1174,7 +1226,8 @@ _frame_jit = functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
-                     "RECT_A", "RECT_B", "return_chans"),
+                     "RECT_A", "RECT_B", "return_chans", "tile_h",
+                     "R_brick", "texture_tf"),
 )(_frame_body)
 
 _pixel_stage_jit = functools.partial(
@@ -1199,6 +1252,7 @@ def render_frame(
     oversample: float = 1.0,
     interpret: bool = False,
     dist_leap: bool = False,
+    texture_tf: bool = False,
 ) -> RenderOutput:
     """General-camera production path: plan on the host (tiny, subsampled),
     then run the fused w-grid sweep + warp jit (see _frame_jit)."""
@@ -1223,6 +1277,8 @@ def render_frame(
         n_slabs=n_slabs, sgn_p=plan["sgn_p"], interpret=interpret,
         dist_leap=dist_leap,
         RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
+        tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
+        texture_tf=texture_tf,
     )
 
 
