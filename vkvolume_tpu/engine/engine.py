@@ -435,8 +435,12 @@ class Engine:
                 np.asarray(volume.effective_block_size_xyz, np.float32),
             )
             view = plan_mod.analyze_view(uniforms, height, width)
+            # Ray setup is built lazily: the Pallas frame builds it inside
+            # its own jit (a fresh pose costs only the host plan), and only
+            # the fallback renderers / depth-attachment frames need it as a
+            # standalone array.
             rays = None
-            if view is not None and not view["mixed"]:
+            if use_depth and view is not None and not view["mixed"]:
                 rays = make_rays(uniforms, height, width,
                                  depth_image=depth_image, use_depth=use_depth)
             pose = dict(uniforms=uniforms, view=view, rays=rays)
@@ -543,6 +547,7 @@ class Engine:
                         out = sp._frame_jit(
                             vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
                             grad_t if tf.use_gradient else None, hcoef,
+                            height=height, width=width,
                             p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
                             R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
                             ert=self.options.early_ray_termination,
@@ -553,6 +558,7 @@ class Engine:
                             RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
                             tile_h=plan.get("tile_h", 8),
                             R_brick=plan.get("R_brick"),
+                            span_blks=plan.get("span_blks", 2),
                             texture_tf=self.options.texture_tf,
                         )
                         self.last_renderer = "pallas"
@@ -570,6 +576,11 @@ class Engine:
                               file=sys.stderr)
         self.last_renderer = "sweep"
         self.renderer_counts["sweep"] += 1
+
+        if rays is None:
+            rays = pose["rays"] = make_rays(
+                uniforms, height, width,
+                depth_image=depth_image, use_depth=use_depth)
 
         def sweep_rows(band):
             return sweep_mod.sweep(

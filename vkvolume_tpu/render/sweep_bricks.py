@@ -60,7 +60,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
             scratch, sems, gscratch, gsems,
             *, R, PLANES, ert, count_samples, use_gradient, sgn, aligned,
-            tile_h, n_slabs, texture_tf=False):
+            tile_h, n_slabs, span_blks, texture_tf=False):
     f = jnp.float32
     Np = meta_ref[0]
     Sv = meta_ref[1]
@@ -329,47 +329,43 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             lum, alpha, firsts, nsamp = carry
             p0, v0a, u0a = brick_geom(kb_cur)
 
-            def sample_rows(buf, pidx, fp, il0, il1, fu, r_lo, r_hi):
-                """Separable sampling of one slab from brick rows
-                [pidx] (and [pidx+1] when not aligned): per-8-row block
-                lane gathers + tent matmul (sweep_pallas's separable
-                scheme minus the plane lerp when aligned)."""
+            def sample_rows(buf, pidx, fp, il0, il1, fu, r_base8):
+                """Separable sampling of one slab from brick rows [pidx]
+                (and [pidx+1] when not aligned): a FIXED-size row window at
+                a dynamic 8-aligned sublane offset (the slab's tent support
+                — no per-block conds), lane gathers + the caller's tent
+                matmul. Returns (span_blks*8, TILE_W)."""
                 il8 = il0[0:8, :]
                 il8b = il1[0:8, :]
                 blocks = []
-                for b in range(R // 8):
-                    def do(_, b=b):
-                        r0 = buf[slot, pidx, b * 8:(b + 1) * 8, :]
-                        rows = r0.astype(jnp.int32).astype(f)
-                        if not aligned:
-                            r1 = buf[slot, pidx + 1, b * 8:(b + 1) * 8, :]
-                            rows = (rows * (1.0 - fp)
-                                    + r1.astype(jnp.int32).astype(f) * fp)
-                        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
-                                       for h in range(RECT_W // 128))
+                for b in range(span_blks):
+                    rb = r_base8 + 8 * b
+                    r0 = buf[slot, pidx, pl.ds(rb, 8), :]
+                    rows = r0.astype(jnp.int32).astype(f)
+                    if not aligned:
+                        r1 = buf[slot, pidx + 1, pl.ds(rb, 8), :]
+                        rows = (rows * (1.0 - fp)
+                                + r1.astype(jnp.int32).astype(f) * fp)
+                    halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                                   for h in range(RECT_W // 128))
 
-                        def u_tap(il):
-                            g = jnp.take_along_axis(
-                                halves[0], jnp.minimum(il, 127), axis=1)
-                            for h in range(1, RECT_W // 128):
-                                g = jnp.where(
-                                    il < 128 * h, g,
-                                    jnp.take_along_axis(
-                                        halves[h],
-                                        jnp.clip(il - 128 * h, 0, 127),
-                                        axis=1),
-                                )
-                            return g
+                    def u_tap(il):
+                        g = jnp.take_along_axis(
+                            halves[0], jnp.minimum(il, 127), axis=1)
+                        for h in range(1, RECT_W // 128):
+                            g = jnp.where(
+                                il < 128 * h, g,
+                                jnp.take_along_axis(
+                                    halves[h],
+                                    jnp.clip(il - 128 * h, 0, 127),
+                                    axis=1),
+                            )
+                        return g
 
-                        g0 = u_tap(il8)
-                        g1 = u_tap(il8b)
-                        return g0 + (g1 - g0) * fu[0:8, :]   # (8, TILE_W)
-
-                    overlap = (r_lo <= b * 8 + 7) & (r_hi >= b * 8)
-                    blocks.append(jax.lax.cond(
-                        overlap, do,
-                        lambda _: jnp.zeros((8, TILE_W), f), 0))
-                return jnp.concatenate(blocks, axis=0)        # (R, TILE_W)
+                    g0 = u_tap(il8)
+                    g1 = u_tap(il8b)
+                    blocks.append(g0 + (g1 - g0) * fu[0:8, :])  # (8, TILE_W)
+                return jnp.concatenate(blocks, axis=0)
 
             js = range(BRICK) if sgn > 0 else range(BRICK - 1, -1, -1)
             for j in js:
@@ -391,9 +387,10 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
 
                 qv_min_t = jnp.min(jnp.where(cov, qv, f(1e30)))
-                qv_max_t = jnp.max(jnp.where(cov, qv, f(-1e30)))
-                r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - 1 - v0a
-                r_hi = jnp.ceil(qv_max_t).astype(jnp.int32) + 1 - v0a
+                r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - v0a
+                r_base8 = jnp.clip((r_lo // 8) * 8, 0,
+                                   jnp.int32(R - 8 * span_blks))
+                r_base8 = pl.multiple_of(r_base8, 8)
 
                 if aligned:
                     pidx = jnp.clip(k, 0, Np - 2) - p0
@@ -404,10 +401,10 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                     fp = jnp.clip(zp - kk0.astype(f), 0.0, 1.0)
                     pidx = kk0 - p0
 
-                colu = sample_rows(scratch, pidx, fp, il0, il1, fu,
-                                   r_lo, r_hi)
+                colu = sample_rows(scratch, pidx, fp, il0, il1, fu, r_base8)
                 r_glob = (jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_h, R), 1) + v0a).astype(f)
+                    jnp.int32, (tile_h, 8 * span_blks), 1)
+                    + v0a + r_base8).astype(f)
                 what = jnp.maximum(0.0, 1.0 - jnp.abs(qv[:, 0:1] - r_glob))
                 intensity = jax.lax.dot_general(
                     what, colu, (((1,), (0,)), ((), ())),
@@ -430,7 +427,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                     a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
                 if use_gradient:
                     gcolu = sample_rows(gscratch, pidx, fp, il0, il1, fu,
-                                        r_lo, r_hi)
+                                        r_base8)
                     gradient = jax.lax.dot_general(
                         what, gcolu, (((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
@@ -504,13 +501,13 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
     jax.jit,
     static_argnames=("p_axis", "R", "ert", "test", "count_samples",
                      "n_slabs", "interpret", "dist_leap", "sgn", "tile_h",
-                     "texture_tf"),
+                     "span_blks", "texture_tf"),
 )
 def _sweep_bricks_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
     proj_view_model, grad_t=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, sgn, tile_h=16,
-    interpret=False, dist_leap=False, texture_tf=False,
+    span_blks=2, interpret=False, dist_leap=False, texture_tf=False,
 ):
     """Brick-kernel twin of sweep_pallas._sweep_pallas_jit (separable w-grid
     rays only; ``sgn`` — the slab iteration direction — is static)."""
@@ -634,7 +631,7 @@ def _sweep_bricks_jit(
         count_samples=count_samples or test == Test.NUM_TEXTURE_SAMPLES,
         use_gradient=use_gradient, sgn=1 if sgn > 0 else -1,
         aligned=aligned, tile_h=tile_h, n_slabs=n_slabs,
-        texture_tf=texture_tf)
+        span_blks=min(span_blks, R // 8), texture_tf=texture_tf)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

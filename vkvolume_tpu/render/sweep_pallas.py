@@ -988,20 +988,21 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         # (assuming ≥1 slab per voxel plane; _frame_body falls back to the
         # per-slab kernel when n_slabs < Np). Prefer 16-row tiles (per-brick
         # control work amortised over 2× the pixels).
-        tile_h, R_brick = 8, None
+        tile_h, R_brick, span_blks = 8, None, 2
         if brick_wanted \
                 and 128.0 * dwu * Su * t_max + drift_bu <= RECT_W - 132:
-            for th, cands in ((16, (24, 32, 48, 64)),
-                              (8, (16, 24, 32, 48, 64))):
+            for th in (32, 16, 8):
                 span = th * dwv * Sv * t_max
-                fit = [c for c in cands if span + drift_bv <= c - 10]
-                if fit:
-                    tile_h, R_brick = th, fit[0]
+                sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
+                need = max(8 * sb, int(span + drift_bv + 11.0))
+                fit = [c for c in (16, 24, 32, 48, 64) if need <= c]
+                if fit and Hi % th == 0:
+                    tile_h, R_brick, span_blks = th, fit[0], sb
                     break
 
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
-                    tile_h=tile_h, R_brick=R_brick,
+                    tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
                     RECT_A=None, RECT_B=None, hcoef=None)
         # Two-pass projective warp (render/plan.py): available when the
         # caller provided the host-analytic view stats (span_wv_t) and the
@@ -1034,7 +1035,8 @@ def _frame_body(
     *, p_axis, Hi, Wi, R_sweep, R_warp, ert, test, n_slabs, sgn_p,
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
     n_shards=1, axis_name=None, return_chans=False,
-    tile_h=8, R_brick=None, texture_tf=False,
+    tile_h=8, R_brick=None, span_blks=2, texture_tf=False,
+    height=None, width=None,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1044,10 +1046,19 @@ def _frame_body(
     parallel/mesh.py:render_frame_sharded): each device sweeps its Hi/n
     contiguous w-grid rows (volume replicated), one tiled ``all_gather``
     rebuilds the full grid, and the warp runs on the device's local pixel
-    rows — the only collective in the frame."""
+    rows — the only collective in the frame.
+
+    ``rays`` may be None with ``height``/``width`` statics set: the pixel
+    ray setup is then built INSIDE the jit (a fresh camera pose costs only
+    the host plan — no separate ray-setup dispatch, the orbit/free-camera
+    steady state)."""
     from .frustum import rays_from_dirs
 
     f = jnp.float32
+    if rays is None:
+        from .ray_setup import make_rays
+
+        rays = make_rays(uniforms, height, width)
     H, W = rays.valid.shape
     v_ax, u_ax = _SLICE_AXES[p_axis]
     wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
@@ -1081,6 +1092,7 @@ def _frame_body(
             p_axis=p_axis, R=R_brick, ert=ert, test=test,
             count_samples=test == Test.NUM_TEXTURE_SAMPLES,
             n_slabs=n_slabs, sgn=1 if sgn_p > 0 else -1, tile_h=tile_h,
+            span_blks=span_blks,
             interpret=interpret, dist_leap=dist_leap, texture_tf=texture_tf,
         )
     else:
@@ -1187,9 +1199,14 @@ def _pixel_stage(
         Hp = -(-H // 128) * 128
         gy_t = jnp.pad(jnp.swapaxes(gy, 0, 1), ((0, 0), (0, Hp - H)),
                        constant_values=-10.0)
+        # u16-encoded warp: lum/alpha/depth live in [0, 1] (depth is
+        # reverse-Z clip depth; no-hit pixels are overwritten below), the
+        # sample-count channel is an integer ≤ ~13k — all exactly
+        # representable / sub-LSB in 16 bits for an 8-bit output.
+        scales = [65535.0, 65535.0, 65535.0] + ([1.0] if num_test else [])
         warped_p = warp_pallas.warp_two_pass(
             chans, xa, gy_t, RECT_A=RECT_A, RECT_B=RECT_B,
-            interpret=interpret)
+            scales=scales[:chans.shape[0]], interpret=interpret)
         warped = warped_p[:, :H, :]
     elif interpret or R_warp is None:
         # XLA-gather warp: interpret/test mode, or the last-tier plan for
@@ -1227,7 +1244,8 @@ _frame_jit = functools.partial(
     static_argnames=("p_axis", "Hi", "Wi", "R_sweep", "R_warp", "ert",
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
                      "RECT_A", "RECT_B", "return_chans", "tile_h",
-                     "R_brick", "texture_tf"),
+                     "R_brick", "span_blks", "texture_tf", "height",
+                     "width"),
 )(_frame_body)
 
 _pixel_stage_jit = functools.partial(
@@ -1278,6 +1296,7 @@ def render_frame(
         dist_leap=dist_leap,
         RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
         tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
+        span_blks=plan.get("span_blks", 2),
         texture_tf=texture_tf,
     )
 

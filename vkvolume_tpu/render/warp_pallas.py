@@ -168,10 +168,16 @@ def warp_to_pixels(src_chw: jax.Array, gx: jax.Array, gy: jax.Array,
 
 
 def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
-                     *, RECT, C):
+                     *, RECT, C, encode_out):
     """out[c, y, x] = lerp(src[c, y, pos[y, x]]) for one 8×128 tile; the
     source rows are the tile's own rows (row-aligned 1-D resample).
-    pos < -5 marks masked pixels → 0."""
+    pos < -5 marks masked pixels → 0.
+
+    The source (and, with ``encode_out``, the output) may be uint16-encoded
+    values — linear resampling commutes with the affine u16 encoding, and
+    the half-width rects halve the warp's DMA traffic (the two-pass warp is
+    DMA-bound; values are destined for an 8-bit image, so the ≤1/65535
+    quantisation is far below output tolerance)."""
     f = jnp.float32
     Ws = meta_ref[0]
     ty = pl.program_id(0)
@@ -213,26 +219,39 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
 
     for c in range(C):
         rows = scratch[c, :, :]                      # (8, RECT)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.int32).astype(f)
         halves = tuple(rows[:, 128 * h:128 * (h + 1)]
                        for h in range(RECT // 128))
         g0 = u_tap(halves, il0)
         g1 = u_tap(halves, il1)
         val = g0 + (g1 - g0) * fu
-        out_ref[c, :, :] = jnp.where(inside, val, 0.0)
+        val = jnp.where(inside, val, 0.0)
+        if encode_out:
+            # Mosaic lacks a direct f32→u16 cast; go via int32.
+            out_ref[c, :, :] = jnp.round(
+                jnp.clip(val, 0.0, 65535.0)
+            ).astype(jnp.int32).astype(jnp.uint16)
+        else:
+            out_ref[c, :, :] = val
 
 
-@functools.partial(jax.jit, static_argnames=("RECT",))
-def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512
-                  ) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("RECT", "encode_out"))
+def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
+                  encode_out: bool = False) -> jax.Array:
     """Row-aligned 1-D resample: out[c, y, x] = lerp(src[c, y, pos[y, x]]).
 
     ``pos`` is (Ho, Wo) with Ho == src rows; Ho % 8 == 0, Wo % 128 == 0.
-    pos < -5 → 0 (mask). Per-tile column span must fit RECT - 132."""
+    pos < -5 → 0 (mask). Per-tile column span must fit RECT - 132.
+    ``src_chw`` may be uint16 (encoded values); ``encode_out`` keeps the
+    output uint16-encoded as well."""
     C, Hs, Ws = src_chw.shape
     Ho, Wo = pos.shape
     assert Ho == Hs, (Ho, Hs)
     meta = jnp.asarray([Ws], jnp.int32)
-    kern = functools.partial(_resample_kernel, RECT=RECT, C=C)
+    kern = functools.partial(_resample_kernel, RECT=RECT, C=C,
+                             encode_out=encode_out)
+    out_dtype = jnp.uint16 if encode_out else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Ho // TILE_H, Wo // TILE_W),
@@ -243,13 +262,13 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512
         out_specs=pl.BlockSpec((C, TILE_H, TILE_W),
                                lambda ty, tx, *_: (0, ty, tx)),
         scratch_shapes=[
-            pltpu.VMEM((C, TILE_H, RECT), jnp.float32),
+            pltpu.VMEM((C, TILE_H, RECT), src_chw.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((C, Ho, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, Ho, Wo), out_dtype),
         grid_spec=grid_spec,
     )(meta, pos, src_chw)
 
@@ -272,20 +291,32 @@ def _resample_rows_reference(src_chw, pos):
 
 
 def warp_two_pass(chans: jax.Array, xa: jax.Array, gy_t: jax.Array,
-                  *, RECT_A: int, RECT_B: int,
+                  *, RECT_A: int, RECT_B: int, scales=None,
                   interpret: bool = False) -> jax.Array:
     """Projective warp via two row-aligned resamples + transposes.
 
     chans: (C, Hi, Wi) grid image; xa: (Hi, W) pass-A positions;
     gy_t: (W, Hp) transposed pass-B positions (Hp = H padded to %128).
     Returns (C, Hp, W) — caller crops rows to H.
+
+    ``scales``: per-channel factors mapping values into [0, 65535] — when
+    given, the whole warp runs uint16-encoded (half the DMA/transpose
+    traffic of the DMA-bound passes; ≤1/65535 quantisation per pass) and
+    the output is decoded back. Channels already in [0, 65535] use 1.0.
     """
     if interpret:
         t = _resample_rows_reference(chans, xa)
         out_t = _resample_rows_reference(jnp.swapaxes(t, 1, 2), gy_t)
-    else:
-        t = resample_rows(chans, xa, RECT=RECT_A)          # (C, Hi, W)
+        return jnp.swapaxes(out_t, 1, 2)
+    if scales is not None:
+        sc = jnp.asarray(scales, jnp.float32)[:, None, None]
+        enc = jnp.round(
+            jnp.clip(chans * sc, 0.0, 65535.0)).astype(jnp.uint16)
+        t = resample_rows(enc, xa, RECT=RECT_A, encode_out=True)
         out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B)
+        return jnp.swapaxes(out_t, 1, 2) / sc              # (C, Hp, W)
+    t = resample_rows(chans, xa, RECT=RECT_A)              # (C, Hi, W)
+    out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B)
     return jnp.swapaxes(out_t, 1, 2)                       # (C, Hp, W)
 
 
