@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Scripted interactive session — headless proof of the reference's GUI loop.
+
+The reference is an interactive renderer: dragging a TF slider triggers
+``update_transfer_function`` (occupancy + distance-map rebuild) and the next
+frame renders with the new maps (src/volume_render.cpp:447-547 draw_gui →
+:392-445 update path). This script drives the same loop headlessly at full
+scale: load the beetle, render, sweep the intensity-min slider over N
+positions, and record the per-edit latency (map rebuild + re-render, synced
+to the host) as a committed JSON artifact.
+
+Env: SESS_DATASET (beetle), SESS_SCALE (1.0), SESS_W/H (1920/1080),
+SESS_EDITS (12), SESS_SKIPMODE (2), SESS_OUT (docs/interactive_r3.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    dataset = os.environ.get("SESS_DATASET", "beetle")
+    scale = float(os.environ.get("SESS_SCALE", "1.0"))
+    width = int(os.environ.get("SESS_W", "1920"))
+    height = int(os.environ.get("SESS_H", "1080"))
+    n_edits = int(os.environ.get("SESS_EDITS", "12"))
+    skipmode = int(os.environ.get("SESS_SKIPMODE", "2"))
+    out_path = os.environ.get("SESS_OUT", "docs/interactive_r3.json")
+
+    import faulthandler
+    faulthandler.dump_traceback_later(900, repeat=True, file=sys.stderr)
+
+    from vkvolume_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
+    from vkvolume_tpu.bench.harness import benchmark_camera, make_engine
+
+    t0 = time.perf_counter()
+    # Interactive configuration: shaded image, ERT on (not benchmark mode).
+    eng, stats, _vol, _ = make_engine(
+        dataset, skipmode, 4, scale=scale, benchmark_mode=False,
+        renderer="pallas")
+    vol = eng.volumes[0]
+    load_s = time.perf_counter() - t0
+    cam = benchmark_camera(aspect=width / height)
+
+    def render_synced():
+        out = eng.render(cam, width, height)
+        out.color.block_until_ready()
+        float(out.color.ravel()[0])
+        return out
+
+    # Warm-up: first frame compiles the pipeline.
+    t0 = time.perf_counter()
+    render_synced()
+    warm_s = time.perf_counter() - t0
+    print(f"loaded in {load_s:.1f}s, first frame {warm_s:.1f}s",
+          file=sys.stderr, flush=True)
+
+    imin0 = vol.options.intensity_min
+    edits = []
+    for i in range(n_edits):
+        # Slider drag: intensity window sweeps up then back down.
+        frac = i / max(n_edits - 1, 1)
+        tri = 2 * frac if frac <= 0.5 else 2 * (1 - frac)
+        imin = imin0 + tri * 0.25
+        t0 = time.perf_counter()
+        vol.options.intensity_min = imin
+        upd = eng.update_transfer_function(vol)
+        t_update = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        render_synced()
+        t_render = time.perf_counter() - t1
+        edits.append(dict(
+            imin=round(imin, 4),
+            update_ms=round(t_update * 1e3, 2),
+            render_ms=round(t_render * 1e3, 2),
+            total_ms=round((t_update + t_render) * 1e3, 2),
+            renderer=eng.last_renderer,
+        ))
+        print(f"edit {i}: imin={imin:.3f} update {t_update*1e3:.1f} ms "
+              f"render {t_render*1e3:.1f} ms ({eng.last_renderer})",
+              file=sys.stderr, flush=True)
+
+    totals = [e["total_ms"] for e in edits]
+    result = dict(
+        dataset=dataset, scale=scale, width=width, height=height,
+        skipmode=skipmode, n_edits=n_edits,
+        total_ms_median=sorted(totals)[len(totals) // 2],
+        total_ms_max=max(totals),
+        renderer_counts=eng.renderer_counts,
+        edits=edits,
+        protocol=("per edit: set intensity_min -> update_transfer_function "
+                  "(occupancy + distance rebuild, engine dirty-tracking) -> "
+                  "render -> forced host sync; mirrors "
+                  "src/volume_render.cpp:447-547 -> :392-445"),
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("total_ms_median", "total_ms_max",
+                       "renderer_counts")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Two-pass projective warp: both Catmull-Smith factorisation orders against
+the direct bilinear warp on a synthetic homography."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vkvolume_tpu.render import plan as plan_mod
+from vkvolume_tpu.render import warp_pallas as wp
+from vkvolume_tpu.render.sweep_pallas import _warp_reference
+
+
+def _setup_homography():
+    """Mildly projective pixel→(wu, wv) map + a grid covering its range."""
+    H, W = 32, 128
+    hc = np.array([
+        0.010, 0.004, -0.20,      # wu = (au i + bu j + cu) / den
+        0.006, -0.009, 0.30,      # wv
+        2e-4, 1e-4, 1.0,          # den = ap i + bp j + cp
+    ], np.float64)
+    au, bu, cu, av, bv, cv, ap, bp, cp = hc
+    i, j = np.meshgrid(np.arange(H, dtype=np.float64),
+                       np.arange(W, dtype=np.float64), indexing="ij")
+    den = ap * i + bp * j + cp
+    wu = (au * i + bu * j + cu) / den
+    wv = (av * i + bv * j + cv) / den
+    Hi, Wi = 64, 256
+    wu0 = wu.min() - 0.02
+    wv0 = wv.min() - 0.02
+    dwu = (wu.max() - wu.min() + 0.04) / Wi
+    dwv = (wv.max() - wv.min() + 0.04) / Hi
+    gx = (wu - wu0) / dwu - 0.5
+    gy = (wv - wv0) / dwv - 0.5
+    plan = dict(wu0=wu0, dwu=dwu, wv0=wv0, dwv=dwv, Hi=Hi, Wi=Wi)
+    # SMOOTH content: the factored warp equals the direct bilinear warp up
+    # to second-order interpolation terms (exact only for smooth images —
+    # which grid images are; white noise would differ at O(1)).
+    yy, xx = np.meshgrid(np.linspace(0, 3, Hi), np.linspace(0, 3, Wi),
+                         indexing="ij")
+    chans = jnp.asarray(np.stack([
+        np.sin(yy + 2 * xx), np.cos(2 * yy - xx), yy * 0.2 + xx * 0.1,
+    ]).astype(np.float32))
+    return hc, plan, chans, gx, gy, H, W
+
+
+def test_two_pass_variant_b_matches_direct_warp():
+    hc, plan, chans, gx, gy, H, W = _setup_homography()
+    Hi, Wi = plan["Hi"], plan["Wi"]
+    ref = np.asarray(_warp_reference(
+        chans, jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32)))
+
+    Hp = -(-H // 128) * 128
+    xg, ii = np.meshgrid(np.arange(Wi, dtype=np.float64),
+                         np.arange(Hp, dtype=np.float64), indexing="ij")
+    yb, jhat = plan_mod.pass_b1_positions_np(hc, plan, xg, ii)
+    ok = (np.isfinite(yb) & (jhat >= -16.0) & (jhat <= W + 15.0)
+          & (ii < H))
+    yb = np.where(ok, yb, -10.0)
+    gx_p = np.full((Hp, W), -10.0, np.float32)
+    gx_p[:H] = gx
+    out = np.asarray(wp.warp_two_pass_b(
+        chans, jnp.asarray(yb, jnp.float32), jnp.asarray(gx_p, jnp.float32),
+        RECT_A=256, RECT_B=256, interpret=True))[:, :H, :]
+
+    # Compare away from grid borders (the direct warp clamps, the factored
+    # warp masks — both conventions only differ outside the grid interior).
+    interior = ((gx > 1) & (gx < Wi - 2) & (gy > 1) & (gy < Hi - 2))
+    d = np.abs(out - ref)[:, interior]
+    assert d.max() < 2e-3, d.max()
+
+
+def test_two_pass_variant_a_matches_direct_warp():
+    hc, plan, chans, gx, gy, H, W = _setup_homography()
+    Hi, Wi = plan["Hi"], plan["Wi"]
+    ref = np.asarray(_warp_reference(
+        chans, jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32)))
+
+    yg, j = np.meshgrid(np.arange(Hi, dtype=np.float64),
+                        np.arange(W, dtype=np.float64), indexing="ij")
+    xa, ihat = plan_mod.pass_a_positions_np(hc, plan, yg, j)
+    ok = np.isfinite(xa) & (ihat >= -16.0) & (ihat <= H + 15.0)
+    xa = np.where(ok, xa, -10.0)
+    Hp = -(-H // 128) * 128
+    gy_t = np.full((W, Hp), -10.0, np.float32)
+    gy_t[:, :H] = gy.T
+    out = np.asarray(wp.warp_two_pass(
+        chans, jnp.asarray(xa, jnp.float32), jnp.asarray(gy_t, jnp.float32),
+        RECT_A=256, RECT_B=256, interpret=True))[:, :H, :]
+
+    interior = ((gx > 1) & (gx < Wi - 2) & (gy > 1) & (gy < Hi - 2))
+    d = np.abs(out - ref)[:, interior]
+    # Variant A is the stretched order for this synthetic map (larger
+    # second-order interpolation term); the bound still catches any
+    # indexing/solve bug (those are O(0.5) on this content).
+    assert d.max() < 0.03, d.max()
+
+
+def test_plan_prefers_better_conditioned_variant():
+    """Over a full orbit of the bench pose class, the plan must keep the
+    slow XLA-gather warp fallback rare (< 20 % of poses) now that both
+    factorisation orders are available (round 2: 39 % XLA-warp poses)."""
+    from vkvolume_tpu.bench.harness import benchmark_camera
+    from vkvolume_tpu.engine import VolumeOptions, from_array
+    from vkvolume_tpu.render import make_uniforms
+    from vkvolume_tpu.render import sweep_pallas as sp
+
+    vol = np.zeros((494, 832, 832), np.uint8)
+    v = from_array(vol, VolumeOptions(intensity_min=0.1), block_size=4)
+    v.set_scale((100.0 / 832,) * 3)
+    H, W = 1080, 1920
+    counts = {"xla": 0, "two": 0, "one": 0, "none": 0}
+    variants = set()
+    for az in range(0, 360, 10):
+        cam = benchmark_camera(aspect=W / H, azimuth=float(az))
+        u = make_uniforms(cam, v.node_transform, v.image_transform, 50.0,
+                          (4, 4, 4))
+        view = plan_mod.analyze_view(u, H, W)
+        if view is None or view["mixed"]:
+            counts["none"] += 1
+            continue
+        plan = sp.plan_from_stats(view, u, view["p_axis"], vol.shape, H, W)
+        if plan is None:
+            counts["none"] += 1
+        elif plan.get("RECT_A"):
+            counts["two"] += 1
+            variants.add(plan.get("warp_variant"))
+        elif plan.get("warp_xla"):
+            counts["xla"] += 1
+        else:
+            counts["one"] += 1
+    total = sum(counts.values())
+    assert counts["xla"] / total < 0.2, counts
+    assert "B" in variants, counts

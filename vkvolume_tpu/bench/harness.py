@@ -256,6 +256,7 @@ def stage_breakdown(eng, cam, width: int, height: int,
         p_axis=k["p_axis"], Hi=k["Hi"], R_warp=k["R_warp"], test=k["test"],
         RECT_A=k["RECT_A"], RECT_B=k["RECT_B"],
         interpret=k.get("interpret", False), dim_max=dim_max,
+        warp_variant=k.get("warp_variant", "A"),
     ))
 
     ready = jax.block_until_ready(chans)

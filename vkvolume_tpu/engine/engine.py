@@ -560,6 +560,7 @@ class Engine:
                             R_brick=plan.get("R_brick"),
                             span_blks=plan.get("span_blks", 2),
                             texture_tf=self.options.texture_tf,
+                            warp_variant=plan.get("warp_variant", "A"),
                         )
                         self.last_renderer = "pallas"
                         self.renderer_counts["pallas"] += 1

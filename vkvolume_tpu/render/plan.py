@@ -266,53 +266,94 @@ def pass_a_positions_np(hc: np.ndarray, plan: dict, yg: np.ndarray,
     return xa, ihat
 
 
+def pass_b1_positions_np(hc: np.ndarray, plan: dict, xg: np.ndarray,
+                         i: np.ndarray):
+    """Variant-B first-pass positions (the TRANSPOSED Catmull-Smith
+    factorisation, used when variant A's row solve degenerates — e.g.
+    diagonal azimuths): YB[xg, i] = gy(i, Ĵ(xg, i)) where Ĵ solves
+    gx(i, Ĵ) = wu(xg). Returns (yb, jhat)."""
+    au, bu, cu, av, bv, cv, ap, bp, cp = hc
+    wu_c = plan["wu0"] + (xg + 0.5) * plan["dwu"]
+    den = bu - wu_c * bp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jhat = (wu_c * cp - cu - (au - wu_c * ap) * i) / den
+        wv = ((av * i + bv * jhat + cv)
+              / (ap * i + bp * jhat + cp))
+        yb = (wv - plan["wv0"]) / plan["dwv"] - 0.5
+    return yb, jhat
+
+
+def _pick_rect(span, src_width, quantum: int = 512):
+    """Rect width covering ``span`` + alignment/tent margins, quantised
+    coarsely (each distinct rect is a jit specialisation — 512 steps keep
+    the orbit's specialisation count small). The row-aligned rect is
+    (C, 8, RECT) in VMEM — wide windows are cheap; the rect must never
+    exceed the source row width (the DMA would read out of bounds — a
+    device fault, not an error)."""
+    if not np.isfinite(span):
+        return None
+    cap = min(4096, (int(src_width) // 128) * 128)
+    rect = -(-int(span + 132.0) // quantum) * quantum
+    rect = max(rect, 256)
+    if rect > cap:
+        # A cap-wide window still covers any span <= cap - 132 (the
+        # aligned base wastes at most 127 + tent margin).
+        rect = cap
+        if span > cap - 132.0:
+            return None
+    return rect
+
+
 def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
                        plan: dict, view: dict) -> dict | None:
     """Feasibility + rect widths for the two-pass projective warp; None →
     caller uses the single-pass warp.
 
-    Pass-A positions are only meaningful where the solved image row Î lies
-    in (a margin around) the image — the kernel masks the rest (XA = -10) —
-    so feasibility measures the per-tile span of the MASKED positions on a
-    tile-corner lattice, with a wider validity margin than the kernel uses
-    (the measured region strictly contains the kernel-active one)."""
+    Evaluates BOTH Catmull-Smith factorisation orders and picks the one
+    with the smaller total rect (the row-first order degenerates when
+    image rows run near-parallel to the grid's wu axis — diagonal
+    azimuths — exactly where the column-first order is well conditioned):
+
+    * variant A (row-first): pass A resamples grid rows at XA(yg, j),
+      pass B resamples columns at gy;
+    * variant B (column-first): pass 1 resamples grid columns at
+      YB(xg, i), pass 2 resamples rows at gx.
+
+    First-pass positions are only meaningful where the solved pixel
+    coordinate lies in (a margin around) the image — the kernel masks the
+    rest (pos = -10) — so feasibility measures the per-tile span of the
+    MASKED positions on a tile-corner lattice, with a wider validity
+    margin than the kernel uses."""
     hc = homography_coeffs(u, p_axis, height, width)
-    Hi = plan["Hi"]
+    Hi, Wi = plan["Hi"], plan["Wi"]
+
+    cands = []
 
     yg, j = np.meshgrid(np.arange(0.0, Hi + 7.0, 8.0),
                         np.arange(0.0, width + 7.0, 8.0), indexing="ij")
     xa, ihat = pass_a_positions_np(hc, plan, yg, j)
     ok = np.isfinite(xa) & (ihat >= -16.0) & (ihat <= height + 15.0)
-    if not ok.any():
+    if ok.any():
+        xa = np.where(ok, xa, np.nan)
+        span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
+        ra = _pick_rect(span_a, Wi)
+        rb = _pick_rect(view["span_wv_t"] / plan["dwv"], Hi)
+        if ra is not None and rb is not None:
+            cands.append(("A", ra, rb))
+
+    xg, ii = np.meshgrid(np.arange(0.0, Wi + 7.0, 8.0),
+                         np.arange(0.0, height + 7.0, 8.0), indexing="ij")
+    yb, jhat = pass_b1_positions_np(hc, plan, xg, ii)
+    okb = np.isfinite(yb) & (jhat >= -16.0) & (jhat <= width + 15.0)
+    if okb.any():
+        yb = np.where(okb, yb, np.nan)
+        span_1 = 1.15 * tile_span_from_lattice(yb, 1, 16)
+        r1 = _pick_rect(span_1, Hi)
+        r2 = _pick_rect(view["span_wu"] / plan["dwu"], Wi)
+        if r1 is not None and r2 is not None:
+            cands.append(("B", r1, r2))
+
+    if not cands:
         return None
-    xa = np.where(ok, xa, np.nan)
-    span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
-
-    span_b = view["span_wv_t"] / plan["dwv"]
-
-    def pick(span, src_width):
-        # The row-aligned rect is (C, 8, RECT) f32 in VMEM — 4096 lanes is
-        # ~524 KB at C=4 (VMEM is 16 MB), so wide windows are cheap; the
-        # lane-select chain grows by one take per extra 128 lanes and the
-        # per-tile DMA stays a few hundred KB. The rect must never exceed
-        # the source row width (the DMA would read out of bounds — a device
-        # fault, not an error).
-        if not np.isfinite(span):
-            return None
-        cap = min(4096, (int(src_width) // 128) * 128)
-        # 256-step quantization: each distinct rect is a jit specialization.
-        rect = -(-int(span + 132.0) // 256) * 256
-        rect = max(rect, 256)
-        if rect > cap:
-            # A cap-wide window still covers any span <= cap - 132 (the
-            # aligned base wastes at most 127 + tent margin).
-            rect = cap
-            if span > cap - 132.0:
-                return None
-        return rect
-
-    ra = pick(span_a, plan["Wi"])
-    rb = pick(span_b, plan["Hi"])
-    if ra is None or rb is None:
-        return None
-    return dict(hcoef=hc, RECT_A=ra, RECT_B=rb)
+    variant, ra, rb = min(cands, key=lambda t: t[1] + t[2])
+    return dict(hcoef=hc, RECT_A=ra, RECT_B=rb, warp_variant=variant)

@@ -1036,7 +1036,7 @@ def _frame_body(
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
     n_shards=1, axis_name=None, return_chans=False,
     tile_h=8, R_brick=None, span_blks=2, texture_tf=False,
-    height=None, width=None,
+    height=None, width=None, warp_variant="A",
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1131,14 +1131,14 @@ def _frame_body(
         chans, rays, grid_params, hcoef, tf, grid_out.iterations,
         p_axis=p_axis, Hi=Hi, R_warp=R_warp, test=test, RECT_A=RECT_A,
         RECT_B=RECT_B, interpret=interpret, dim_max=max(Np, Sv, Su),
-        H_total=H * n_shards,
+        H_total=H * n_shards, warp_variant=warp_variant,
     )
 
 
 def _pixel_stage(
     chans, rays: RaySetup, grid_params, hcoef, tf: TFParams, iterations,
     *, p_axis, Hi, R_warp, test, RECT_A, RECT_B, interpret, dim_max,
-    H_total=None,
+    H_total=None, warp_variant="A",
 ):
     """Warp + pixel-space outputs (the frame's second half — split out so
     the benchmark can time the grid and pixel stages separately).
@@ -1165,48 +1165,79 @@ def _pixel_stage(
     gy = jnp.where(pix_ok, gy, -10.0)
 
     if RECT_A is not None and hcoef is not None:
-        # Two-pass projective warp (see warp_pallas.warp_two_pass): the
-        # pixel→grid map is an exact homography, so the resample factors
-        # into two row-aligned 1-D rational passes.
+        # Two-pass projective warp (see warp_pallas.warp_two_pass /
+        # warp_two_pass_b): the pixel→grid map is an exact homography, so
+        # the resample factors into two row-aligned 1-D rational passes;
+        # the plan picked the better-conditioned factorisation order.
         from . import warp_pallas
 
         au, bu, cu_ = hcoef[0], hcoef[1], hcoef[2]
         av, bv, cv_ = hcoef[3], hcoef[4], hcoef[5]
         ap, bp_, cp_ = hcoef[6], hcoef[7], hcoef[8]
-        ygi = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 0).astype(f)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 1).astype(f)
-        wv_t = wv0 + (ygi + 0.5) * dwv
-        den = av - wv_t * ap
-        den = jnp.where(jnp.abs(den) < 1e-20,
-                        jnp.where(den < 0, -1e-20, 1e-20), den)
-        ihat = (wv_t * (bp_ * jj + cp_) - (bv * jj + cv_)) / den
-        dd = ap * ihat + bp_ * jj + cp_
-        dd = jnp.where(jnp.abs(dd) < 1e-20,
-                       jnp.where(dd < 0, -1e-20, 1e-20), dd)
-        wu_a = (au * ihat + bu * jj + cu_) / dd
-        xa = (wu_a - wu0) / dwu - 0.5
-        # Mask pass-A positions outside the solved-image-row validity
-        # window — the SAME window the plan's feasibility span used
-        # (render/plan.py:two_pass_warp_plan). Past the homography horizon
-        # ihat blows up while xa tends to a finite limit; unmasked, those
-        # lanes drag the tile's aligned DMA base away from the valid lanes
-        # (wrong texels for the whole tile). No valid pixel consumes a
-        # pass-A row whose ihat is outside the image + margin, so masking
-        # to the -10 sentinel is exact.
-        ok_a = (jnp.isfinite(xa) & (ihat >= f(-16.0))
-                & (ihat <= f(H_img) + f(15.0)))
-        xa = jnp.where(ok_a, xa, f(-10.0))
-        Hp = -(-H // 128) * 128
-        gy_t = jnp.pad(jnp.swapaxes(gy, 0, 1), ((0, 0), (0, Hp - H)),
-                       constant_values=-10.0)
         # u16-encoded warp: lum/alpha/depth live in [0, 1] (depth is
         # reverse-Z clip depth; no-hit pixels are overwritten below), the
         # sample-count channel is an integer ≤ ~13k — all exactly
         # representable / sub-LSB in 16 bits for an 8-bit output.
         scales = [65535.0, 65535.0, 65535.0] + ([1.0] if num_test else [])
-        warped_p = warp_pallas.warp_two_pass(
-            chans, xa, gy_t, RECT_A=RECT_A, RECT_B=RECT_B,
-            scales=scales[:chans.shape[0]], interpret=interpret)
+        scales = scales[:chans.shape[0]]
+        Hp = -(-H // 128) * 128
+        Wi_g = chans.shape[2]
+        if warp_variant == "B":
+            # Column-first order: pass 1 resamples each grid COLUMN at the
+            # grid rows YB(xg, i); pass 2 resamples rows at gx.
+            xgi = jax.lax.broadcasted_iota(jnp.int32, (Wi_g, Hp), 0
+                                           ).astype(f)
+            iir = jax.lax.broadcasted_iota(jnp.int32, (Wi_g, Hp), 1
+                                           ).astype(f)
+            wu_c = wu0 + (xgi + 0.5) * dwu
+            den = bu - wu_c * bp_
+            den = jnp.where(jnp.abs(den) < 1e-20,
+                            jnp.where(den < 0, -1e-20, 1e-20), den)
+            jhat = (wu_c * cp_ - cu_ - (au - wu_c * ap) * iir) / den
+            dd = ap * iir + bp_ * jhat + cp_
+            dd = jnp.where(jnp.abs(dd) < 1e-20,
+                           jnp.where(dd < 0, -1e-20, 1e-20), dd)
+            wv_b = (av * iir + bv * jhat + cv_) / dd
+            yb = (wv_b - wv0) / dwv - 0.5
+            # Same masking rationale as variant A: no valid pixel consumes
+            # a pass-1 column entry whose solved pixel column Ĵ is outside
+            # the image + margin (the plan's feasibility window).
+            ok_b = (jnp.isfinite(yb) & (jhat >= f(-16.0))
+                    & (jhat <= f(W) + f(15.0)) & (iir < f(H_img)))
+            yb = jnp.where(ok_b, yb, f(-10.0))
+            gx_p = jnp.pad(gx, ((0, Hp - H), (0, 0)), constant_values=-10.0)
+            warped_p = warp_pallas.warp_two_pass_b(
+                chans, yb, gx_p, RECT_A=RECT_A, RECT_B=RECT_B,
+                scales=scales, interpret=interpret)
+        else:
+            ygi = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 0).astype(f)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 1).astype(f)
+            wv_t = wv0 + (ygi + 0.5) * dwv
+            den = av - wv_t * ap
+            den = jnp.where(jnp.abs(den) < 1e-20,
+                            jnp.where(den < 0, -1e-20, 1e-20), den)
+            ihat = (wv_t * (bp_ * jj + cp_) - (bv * jj + cv_)) / den
+            dd = ap * ihat + bp_ * jj + cp_
+            dd = jnp.where(jnp.abs(dd) < 1e-20,
+                           jnp.where(dd < 0, -1e-20, 1e-20), dd)
+            wu_a = (au * ihat + bu * jj + cu_) / dd
+            xa = (wu_a - wu0) / dwu - 0.5
+            # Mask pass-A positions outside the solved-image-row validity
+            # window — the SAME window the plan's feasibility span used
+            # (render/plan.py:two_pass_warp_plan). Past the homography
+            # horizon ihat blows up while xa tends to a finite limit;
+            # unmasked, those lanes drag the tile's aligned DMA base away
+            # from the valid lanes (wrong texels for the whole tile). No
+            # valid pixel consumes a pass-A row whose ihat is outside the
+            # image + margin, so masking to the -10 sentinel is exact.
+            ok_a = (jnp.isfinite(xa) & (ihat >= f(-16.0))
+                    & (ihat <= f(H_img) + f(15.0)))
+            xa = jnp.where(ok_a, xa, f(-10.0))
+            gy_t = jnp.pad(jnp.swapaxes(gy, 0, 1), ((0, 0), (0, Hp - H)),
+                           constant_values=-10.0)
+            warped_p = warp_pallas.warp_two_pass(
+                chans, xa, gy_t, RECT_A=RECT_A, RECT_B=RECT_B,
+                scales=scales, interpret=interpret)
         warped = warped_p[:, :H, :]
     elif interpret or R_warp is None:
         # XLA-gather warp: interpret/test mode, or the last-tier plan for
@@ -1245,13 +1276,13 @@ _frame_jit = functools.partial(
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
                      "RECT_A", "RECT_B", "return_chans", "tile_h",
                      "R_brick", "span_blks", "texture_tf", "height",
-                     "width"),
+                     "width", "warp_variant"),
 )(_frame_body)
 
 _pixel_stage_jit = functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "R_warp", "test", "RECT_A", "RECT_B",
-                     "interpret", "dim_max", "H_total"),
+                     "interpret", "dim_max", "H_total", "warp_variant"),
 )(_pixel_stage)
 
 
@@ -1298,6 +1329,7 @@ def render_frame(
         tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
         span_blks=plan.get("span_blks", 2),
         texture_tf=texture_tf,
+        warp_variant=plan.get("warp_variant", "A"),
     )
 
 

@@ -320,6 +320,31 @@ def warp_two_pass(chans: jax.Array, xa: jax.Array, gy_t: jax.Array,
     return jnp.swapaxes(out_t, 1, 2)                       # (C, Hp, W)
 
 
+def warp_two_pass_b(chans: jax.Array, yb: jax.Array, gx_p: jax.Array,
+                    *, RECT_A: int, RECT_B: int, scales=None,
+                    interpret: bool = False) -> jax.Array:
+    """Column-first projective warp (the transposed Catmull-Smith order;
+    picked by the plan when the row-first order degenerates — see
+    plan.two_pass_warp_plan).
+
+    chans: (C, Hi, Wi) grid image; yb: (Wi, Hp) pass-1 positions into grid
+    rows (per grid COLUMN); gx_p: (Hp, W) pass-2 positions into grid
+    columns (per padded pixel row). Returns (C, Hp, W) — caller crops.
+    ``scales`` as in warp_two_pass (u16-encoded passes)."""
+    src = jnp.swapaxes(chans, 1, 2)                        # (C, Wi, Hi)
+    if interpret:
+        t = _resample_rows_reference(src, yb)              # (C, Wi, Hp)
+        return _resample_rows_reference(jnp.swapaxes(t, 1, 2), gx_p)
+    if scales is not None:
+        sc = jnp.asarray(scales, jnp.float32)[:, None, None]
+        enc = jnp.round(
+            jnp.clip(src * sc, 0.0, 65535.0)).astype(jnp.uint16)
+        t = resample_rows(enc, yb, RECT=RECT_A, encode_out=True)
+        return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B) / sc
+    t = resample_rows(src, yb, RECT=RECT_A)
+    return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B)
+
+
 def required_R(gx, gy, interpret_ok: bool = True) -> int | None:
     """Smallest supported rect height for this pixel→grid map (per-tile row
     span + alignment + tent margin), or None if no candidate fits."""
