@@ -113,6 +113,7 @@ def main():
         "rep_ms": reps,
         "rep_spread": round(spread, 3),
         "renderer_used": r.renderer_used,
+        "renderer_counts": r.renderer_counts,
         "orbit_deg_per_frame": orbit,
         "stages": stages,
     }

@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..tf.transfer_function import TFParams
 
@@ -79,8 +80,6 @@ def alpha_positive_threshold(lo: float, inv: float) -> int | None:
     is positive and None when the positive set is not of the form
     ``{v : v >= T}`` (e.g. inverted ranges) — callers then use the general
     float path."""
-    import numpy as np
-
     v = np.arange(256, dtype=np.float32)
     a = np.clip((v * np.float32(1.0 / 255.0) - np.float32(lo))
                 * np.float32(inv), np.float32(0.0), np.float32(1.0))
@@ -91,9 +90,31 @@ def alpha_positive_threshold(lo: float, inv: float) -> int | None:
     return first if bool(pos[first:].all()) else None
 
 
-def _tf_thresholds(tf: TFParams):
-    """(ti, tg) uint8 thresholds for the fast integer path, or None when the
-    TF params are traced (inside jit) or non-monotone."""
+def _tf_thresholds(tf: TFParams, tf_host=None):
+    """(ti, tg) uint8 thresholds for the fast integer path, or None when
+    unavailable (traced TF params without host values, or non-monotone).
+
+    ``tf_host`` = (imin, imax, gmin, gmax) as python floats lets callers
+    (the engine, which owns the slider values) derive the thresholds with
+    ZERO device round-trips — reading the committed TF scalars back over
+    the tunneled transport waits behind the whole device queue (~34 ms,
+    and the relay's wedge-prone sync)."""
+    if tf_host is not None:
+        imin, imax, gmin, gmax = tf_host
+        # Replicate tf_params' f32 derivation bit-exactly
+        # (tf/transfer_function.py:54-67).
+        ti = alpha_positive_threshold(
+            float(np.float32(imin)), float(np.float32(1.0 / (imax - imin))))
+        if ti is None:
+            return None
+        tg = 0
+        if gmax != gmin:
+            tg = alpha_positive_threshold(
+                float(np.float32(gmin)),
+                float(np.float32(1.0 / (gmax - gmin))))
+            if tg is None:
+                return None
+        return ti, tg
     for leaf in (tf.intensity_min, tf.intensity_range_inv,
                  tf.gradient_min, tf.gradient_range_inv):
         if isinstance(leaf, jax.core.Tracer):
@@ -122,20 +143,25 @@ def _block_max_u8(a: jax.Array, map_shape_zyx) -> jax.Array:
     return a.reshape(mz, my, mx, bx).max(axis=3)
 
 
-@functools.partial(jax.jit, static_argnames=("map_shape_zyx", "ti", "tg"))
-def _occupancy_u8(volume_u8, gradient_u8, map_shape_zyx, ti: int, tg: int):
+@functools.partial(jax.jit, static_argnames=("map_shape_zyx",))
+def _occupancy_u8(volume_u8, gradient_u8, map_shape_zyx, ti, tg):
     """Integer-domain occupancy: any(alpha>0) per block == thresholded
     per-block max (max is monotone; the AND of two per-voxel window tests
-    needs the mask-then-max form)."""
-    if ti > 255 or tg > 255:
-        return jnp.full(map_shape_zyx, jnp.uint8(EMPTY))
+    needs the mask-then-max form). ``ti``/``tg`` are TRACED int32 scalars
+    (0..256) — TF slider edits do not retrigger compilation; 256 ("no u8
+    value positive") folds in via the ``valid`` masks."""
+    ti = jnp.asarray(ti, jnp.int32)
+    tg = jnp.asarray(tg, jnp.int32)
+    ti_u8 = jnp.minimum(ti, 255).astype(jnp.uint8)
+    tg_u8 = jnp.minimum(tg, 255).astype(jnp.uint8)
+    valid = (ti <= 255) & (tg <= 255)
     if gradient_u8 is None:
-        occ = _block_max_u8(volume_u8, map_shape_zyx) >= jnp.uint8(ti)
+        occ = _block_max_u8(volume_u8, map_shape_zyx) >= ti_u8
     else:
-        mask = ((volume_u8 >= jnp.uint8(ti))
-                & (gradient_u8 >= jnp.uint8(tg))).astype(jnp.uint8)
+        mask = ((volume_u8 >= ti_u8)
+                & (gradient_u8 >= tg_u8)).astype(jnp.uint8)
         occ = _block_max_u8(mask, map_shape_zyx) >= jnp.uint8(1)
-    return jnp.where(occ, jnp.uint8(OCCUPIED), jnp.uint8(EMPTY))
+    return jnp.where(occ & valid, jnp.uint8(OCCUPIED), jnp.uint8(EMPTY))
 
 
 @functools.partial(jax.jit, static_argnames=("map_shape_zyx", "on_the_fly_gradient"))
@@ -161,6 +187,7 @@ def occupancy_map(
     tf: TFParams,
     map_shape_zyx: tuple[int, int, int],
     on_the_fly_gradient: bool = False,
+    tf_host=None,
 ) -> jax.Array:
     """uint8 occupancy map of shape ``map_shape_zyx``: OCCUPIED=0 / EMPTY=255.
 
@@ -172,7 +199,7 @@ def occupancy_map(
     params fall back to the general float path."""
     if on_the_fly_gradient:
         gradient_u8 = None
-    thr = _tf_thresholds(tf)
+    thr = _tf_thresholds(tf, tf_host)
     if thr is not None:
         ti, tg = thr
         if tf.use_gradient and gradient_u8 is None:
@@ -188,13 +215,14 @@ def occupancy_map(
                               on_the_fly_gradient=on_the_fly_gradient)
 
 
-@functools.partial(jax.jit, static_argnames=("ti", "tg"))
-def _count_u8(volume_u8, gradient_u8, ti: int, tg: int):
-    if ti > 255 or tg > 255:
-        return jnp.zeros((volume_u8.shape[0],), jnp.int32)
-    occ = volume_u8 >= jnp.uint8(ti)
+@jax.jit
+def _count_u8(volume_u8, gradient_u8, ti, tg):
+    ti = jnp.asarray(ti, jnp.int32)
+    tg = jnp.asarray(tg, jnp.int32)
+    valid = (ti <= 255) & (tg <= 255)
+    occ = (volume_u8 >= jnp.minimum(ti, 255).astype(jnp.uint8)) & valid
     if gradient_u8 is not None:
-        occ &= gradient_u8 >= jnp.uint8(tg)
+        occ &= gradient_u8 >= jnp.minimum(tg, 255).astype(jnp.uint8)
     # Per-slice int32 partials (a slice is < 2^31 voxels); the host sums
     # them in arbitrary precision — the int64 totals the reference's
     # subgroup reduction guarantees (occupied_voxel_count.comp, shaderInt64)
@@ -223,16 +251,15 @@ def occupied_voxel_count(
     gradient_u8: jax.Array | None,
     tf: TFParams,
     on_the_fly_gradient: bool = False,
+    tf_host=None,
 ) -> jax.Array:
     """Total number of voxels with TF alpha > 0. Diagnostic printed as
     `Occupied voxels: X%` (reference: src/volume_render.cpp:399-418).
     Integer fast path under the same exactness argument as occupancy_map."""
     if on_the_fly_gradient:
         gradient_u8 = None
-    thr = _tf_thresholds(tf)
+    thr = _tf_thresholds(tf, tf_host)
     if thr is not None:
-        import numpy as np
-
         ti, tg = thr
         if tf.use_gradient and gradient_u8 is None:
             from .gradient import gradient_map

@@ -349,8 +349,12 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
             # gradient floor undershoots. Add post-remap ±A dither to a
             # CALIBRATED FRACTION of interior voxels (v > thr + A keeps the
             # base occupancy bit-exact); the grad occupancy is linear in
-            # the fraction, so one secant step converges.
-            A = int(min(40.0, max(12.0, gds.gmin * 255.0 * 1.8)))
+            # the fraction, so one secant step converges. A is sized so an
+            # isolated dithered voxel pushes its tap-neighbours' tetrahedron
+            # magnitude (|0.25·k·A|·√3 / 255, accel/gradient.py) past the
+            # -grad window's gmin with ~30 % margin.
+            A = int(min(110.0, max(16.0, gds.gmin * 255.0 * (4.0 / 1.732)
+                                   * 1.3)))
 
             def dithered(rho: float) -> np.ndarray:
                 out = vol.astype(np.int16, copy=True)

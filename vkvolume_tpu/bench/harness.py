@@ -55,6 +55,7 @@ class BenchResult:
     load_s: float = 0.0
     rep_ms: tuple = ()        # per-repetition ms/frame (spread diagnostics)
     renderer_used: str = ""
+    renderer_counts: dict | None = None   # frames per renderer (fallback rate)
     engine: object = None     # set when keep_engine=True (stage breakdown)
 
     def row(self):
@@ -183,6 +184,7 @@ def run_config(
         frame_ms=frame_ms, load_s=load_s,
         rep_ms=tuple(round(r, 3) for r in reps),
         renderer_used=getattr(eng, "last_renderer", ""),
+        renderer_counts=dict(getattr(eng, "renderer_counts", {}) or {}),
         engine=eng if keep_engine else None,
     )
 

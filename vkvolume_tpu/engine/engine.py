@@ -65,6 +65,55 @@ def _live_octants(view) -> tuple:
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("map_shape_zyx", "st",
+                                             "use_pallas", "on_the_fly",
+                                             "fast"))
+def _build_maps_fused(density, gradient, tf, ti, tg, *, map_shape_zyx, st,
+                      use_pallas, on_the_fly, fast):
+    """Occupancy + distance transform as ONE device program.
+
+    The TF-edit update path dispatches this once per build: the reference's
+    5-run benchmark protocol (volume_render.cpp:421-430) then costs one
+    dispatch per run instead of one per kernel launch — the per-build
+    dispatch latency over the tunneled transport (~1.5 ms each) dominated
+    the committed small-map update times in round 2.
+
+    ``fast`` selects the integer-threshold occupancy with TRACED (ti, tg)
+    — the thresholds are host-derived (accel/occupancy._tf_thresholds with
+    tf_host) because inside jit the TF leaves are tracers, and a TF slider
+    edit must retrigger neither a threshold read-back nor a recompile.
+
+    BLOCK uses the occupancy map directly; NONE keeps it for diagnostics
+    (the reference also computes it, then skips the distance passes —
+    src/compute_distance_map.cpp:96-99)."""
+    from ..accel.occupancy import _occupancy_general, _occupancy_u8
+
+    if fast:
+        g = None if on_the_fly else gradient
+        if tf.use_gradient and g is None:
+            g = gradient_map(density, tf.grad_magnitude_modifier,
+                             use_gradient=True)
+        occ = _occupancy_u8(density, g if tf.use_gradient else None,
+                            map_shape_zyx, ti, tg)
+    else:
+        occ = _occupancy_general(density, gradient, tf, map_shape_zyx,
+                                 on_the_fly_gradient=on_the_fly)
+    if st not in (SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE):
+        return occ[None]
+    if use_pallas:
+        from ..accel.distance_pallas import (anisotropic_distance_pallas,
+                                             isotropic_distance_pallas)
+
+        return (isotropic_distance_pallas(occ)[None]
+                if st == SkippingType.DISTANCE
+                else anisotropic_distance_pallas(occ))
+    return (isotropic_distance(occ)[None] if st == SkippingType.DISTANCE
+            else anisotropic_distance(occ))
+
+
 @dataclasses.dataclass
 class UpdateStats:
     """Metrics contract of the reference log lines that benchmark.py scrapes
@@ -162,11 +211,15 @@ class Engine:
         gradient = volume.gradient if o.use_precomputed_gradient else None
         on_the_fly = not o.use_precomputed_gradient
 
+        tf_host = (o.intensity_min, o.intensity_max,
+                   o.gradient_min, o.gradient_max)
+
         if self.benchmark_mode:
             t0 = time.perf_counter()
             n_occ = int(
                 occupied_voxel_count(
-                    volume.density, gradient, tf, on_the_fly_gradient=on_the_fly
+                    volume.density, gradient, tf,
+                    on_the_fly_gradient=on_the_fly, tf_host=tf_host,
                 )
             )
             stats.count_ms = (time.perf_counter() - t0) * 1e3
@@ -185,35 +238,20 @@ class Engine:
         state = {"pallas_dt": jax.devices()[0].platform != "cpu"
                  and not os.environ.get("VKV_NO_PALLAS_DT")}
 
+        from ..accel.occupancy import _tf_thresholds
+
+        thr = _tf_thresholds(tf, tf_host)
+        ti, tg = thr if thr is not None else (0, 0)
+
         def build_maps():
-            occ = occupancy_map(
-                volume.density,
-                gradient,
-                tf,
-                volume.map_shape_zyx,
-                on_the_fly_gradient=on_the_fly,
-            )
             st = self.options.skipping_type
-            if st not in (SkippingType.DISTANCE,
-                          SkippingType.ANISOTROPIC_DISTANCE):
-                # BLOCK uses the occupancy map directly; NONE keeps it for
-                # diagnostics (the reference also computes it, then skips the
-                # distance passes — src/compute_distance_map.cpp:96-99).
-                return occ[None]
             if state["pallas_dt"]:
                 try:
-                    if st == SkippingType.DISTANCE:
-                        from ..accel.distance_pallas import (
-                            isotropic_distance_pallas)
-
-                        maps = isotropic_distance_pallas(occ)[None]
-                    else:
-                        from ..accel.distance_pallas import (
-                            anisotropic_distance_pallas)
-
-                        maps = anisotropic_distance_pallas(occ)
-                    maps.block_until_ready()
-                    return maps
+                    return _build_maps_fused(
+                        volume.density, gradient, tf, ti, tg,
+                        map_shape_zyx=volume.map_shape_zyx, st=st,
+                        use_pallas=True, on_the_fly=on_the_fly,
+                        fast=thr is not None)
                 except Exception as e:  # pragma: no cover - infra flake
                     import sys
 
@@ -221,9 +259,11 @@ class Engine:
                           f"({str(e)[:120]}); using the XLA transform",
                           file=sys.stderr)
                     state["pallas_dt"] = False
-            if st == SkippingType.DISTANCE:
-                return isotropic_distance(occ)[None]
-            return anisotropic_distance(occ)
+            return _build_maps_fused(
+                volume.density, gradient, tf, ti, tg,
+                map_shape_zyx=volume.map_shape_zyx, st=st,
+                use_pallas=False, on_the_fly=on_the_fly,
+                fast=thr is not None)
 
         def sync(maps):
             maps.block_until_ready()
@@ -232,8 +272,14 @@ class Engine:
             float(maps.ravel()[0])
 
         runs = timed_runs if self.benchmark_mode else 1
-        sync(build_maps())  # warm the jit cache before timing (the reference's
-        # 5-run average also amortises pipeline warmup, volume_render.cpp:421-430)
+        if self.benchmark_mode:
+            # Warm the jit cache before timing (the reference's 5-run
+            # average also amortises pipeline warmup,
+            # volume_render.cpp:421-430). Interactive edits skip it — the
+            # traced-threshold build recompiles for no TF edit, so the
+            # cache is warm after the first edit and every edit pays ONE
+            # build + one sync.
+            sync(build_maps())
         t0 = time.perf_counter()
         for _ in range(runs):
             maps = build_maps()
@@ -343,10 +389,15 @@ class Engine:
         # program — a full-scale single-program march runs for minutes and
         # the relay's device watchdog kills the TPU worker — and (b) the
         # lock-step loop's trip count per strip is the strip's own worst
-        # ray, not the frame's (less divergence waste).
+        # ray, not the frame's (less divergence waste). Gradient-modulated
+        # TFs march ~2× slower (second trilinear per sample), so they band
+        # finer to stay under the device-program watchdog at full scale.
         n_px = height * width
         if n_px >= 512 * 512:
-            n_bands = min(8, max(2, n_px // (256 * 1024)))
+            if self._tf(volume).use_gradient:
+                n_bands = min(32, max(2, n_px // (128 * 1024)))
+            else:
+                n_bands = min(8, max(2, n_px // (256 * 1024)))
             rows = [height * b // n_bands for b in range(n_bands + 1)]
             parts = [
                 march_rows(jax.tree.map(lambda x: x[rows[b]:rows[b + 1]],
