@@ -148,13 +148,18 @@ def main():
 
     chans, iters = orig(*a, **k, return_chans=True)
     rays, gp = a[3], a[6]
+    if rays is None:
+        from vkvolume_tpu.render.ray_setup import make_rays
+
+        rays = make_rays(a[4], height, width)
     hcoef = a[8] if len(a) > 8 else None
     tf = a[2]
     res["warp_ms"] = timed(lambda: sp._pixel_stage_jit(
         chans, rays, gp, hcoef, tf, iters,
         p_axis=k["p_axis"], Hi=k["Hi"], R_warp=k["R_warp"], test=k["test"],
         RECT_A=k["RECT_A"], RECT_B=k["RECT_B"], interpret=False,
-        dim_max=max(vol_t.shape), H_total=None), "warp stage")
+        dim_max=max(vol_t.shape), H_total=None,
+        warp_variant=k.get("warp_variant", "A")), "warp stage")
 
     # Sweep with ESS disabled (occupancy "occupied everywhere") to measure
     # the no-skip slab cost the leaps save.

@@ -329,20 +329,26 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     if grad_key in DATASETS and target is not None:
         gds = DATASETS[grad_key]
         best = (np.inf, vol, None)
-        occ_g = None
-        for _ in range(6):
-            occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
+        occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
+        if occ_g > 1.25 * target:
+            # Structural floor overshoots: walk the noise/stretch control
+            # down (the only regime where it converges — when UNDER, the
+            # occupancy remap renormalises amplitude away and the dither
+            # stage below is the effective control).
+            for _ in range(5):
+                err = abs(np.log(max(occ_g, 1e-3) / target))
+                if err < best[0]:
+                    best = (err, vol, occ_g)
+                if 0.8 * target <= occ_g <= 1.25 * target:
+                    break
+                c = float(np.clip(
+                    c * (target / max(occ_g, 1e-3)) ** 0.6, 0.01, 8.0))
+                vol = build(*knobs(c))
+                occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
             err = abs(np.log(max(occ_g, 1e-3) / target))
             if err < best[0]:
                 best = (err, vol, occ_g)
-            if 0.8 * target <= occ_g <= 1.25 * target:
-                break
-            c = float(np.clip(
-                c * (target / max(occ_g, 1e-3)) ** 0.6, 0.01, 8.0))
-            vol = build(*knobs(c))
-        _, vol, occ_g = best
-        if occ_g is None:
-            occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
+            _, vol, occ_g = best
         if occ_g < 0.8 * target:
             # The pre-remap noise amplitude saturates (the occupancy remap
             # renormalises distribution width away), so the structural
@@ -365,8 +371,17 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
                         0, 1 << 16, size=(min(64, dd - z0),) + vol.shape[1:],
                         dtype=np.uint16)
                     sl = slice(z0, z0 + r.shape[0])
-                    sign = ((r & 1) * 2 - 1).astype(np.int16)
-                    pick = ((r >> 1) < rho * 32768.0) & (vol[sl] > thr_u8 + A)
+                    vs = vol[sl]
+                    # Occupied voxels just above the TF threshold can only
+                    # dither UP (never crossing back below thr — base
+                    # occupancy stays bit-exact); higher voxels use a
+                    # random sign. Without the upward-only tier the
+                    # eligible set starves (most of the occupied tail sits
+                    # just above thr).
+                    up_only = vs <= thr_u8 + A
+                    sign = np.where(up_only, np.int16(1),
+                                    ((r & 1) * 2 - 1).astype(np.int16))
+                    pick = ((r >> 1) < rho * 32768.0) & (vs > thr_u8)
                     out[sl] += np.where(pick, sign * A, 0).astype(np.int16)
                 return np.clip(out, 0, 255).astype(np.uint8)
 

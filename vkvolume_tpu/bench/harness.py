@@ -227,6 +227,12 @@ def stage_breakdown(eng, cam, width: int, height: int,
     a, k = captured["a"], captured["k"]
     vol_t, _occ, tf, rays, uniforms, _pvm, gp = a[:7]
     hcoef = a[8] if len(a) > 8 else k.get("hcoef")
+    if rays is None:
+        # The engine builds the ray setup inside the frame jit; the staged
+        # warp timing needs it as a standalone array.
+        from ..render.ray_setup import make_rays
+
+        rays = make_rays(uniforms, height, width)
 
     def timed(fn):
         out = fn()

@@ -329,42 +329,52 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             lum, alpha, firsts, nsamp = carry
             p0, v0a, u0a = brick_geom(kb_cur)
 
-            def sample_rows(buf, pidx, fp, il0, il1, fu, r_base8):
+            def sample_rows(buf, pidx, fp, il0, fu, r_base8):
                 """Separable sampling of one slab from brick rows [pidx]
                 (and [pidx+1] when not aligned): a FIXED-size row window at
                 a dynamic 8-aligned sublane offset (the slab's tent support
-                — no per-block conds), lane gathers + the caller's tent
-                matmul. Returns (span_blks*8, TILE_W)."""
+                — no per-block conds). BOTH u taps come from ONE lane
+                gather per half: adjacent texels are packed into an i32
+                lane (v[i] | v[i+1] << 8) so the gather at il0 yields the
+                (il0, il0+1) pair (the caller zeroes ``fu`` where the
+                second tap is clamped at the volume edge). Returns
+                (span_blks*8, TILE_W)."""
                 il8 = il0[0:8, :]
-                il8b = il1[0:8, :]
+                fu8 = fu[0:8, :]
                 blocks = []
                 for b in range(span_blks):
                     rb = r_base8 + 8 * b
                     r0 = buf[slot, pidx, pl.ds(rb, 8), :]
-                    rows = r0.astype(jnp.int32).astype(f)
+                    rows = r0.astype(jnp.int32)
                     if not aligned:
                         r1 = buf[slot, pidx + 1, pl.ds(rb, 8), :]
-                        rows = (rows * (1.0 - fp)
-                                + r1.astype(jnp.int32).astype(f) * fp)
-                    halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                        rowsf = (rows.astype(f) * (1.0 - fp)
+                                 + r1.astype(jnp.int32).astype(f) * fp)
+                        # Plane-lerped rows are fractional: pack as fixed-
+                        # point u8.8 pairs (exact for the 0..255 range).
+                        rows = jnp.round(rowsf * 256.0).astype(jnp.int32)
+                        shift, scale = 16, f(1.0 / 256.0)
+                    else:
+                        shift, scale = 8, f(1.0)
+                    nxt = pltpu.roll(rows, RECT_W - 1, axis=1)
+                    packed = rows | (nxt << shift)
+                    halves = tuple(packed[:, 128 * h:128 * (h + 1)]
                                    for h in range(RECT_W // 128))
 
-                    def u_tap(il):
-                        g = jnp.take_along_axis(
-                            halves[0], jnp.minimum(il, 127), axis=1)
-                        for h in range(1, RECT_W // 128):
-                            g = jnp.where(
-                                il < 128 * h, g,
-                                jnp.take_along_axis(
-                                    halves[h],
-                                    jnp.clip(il - 128 * h, 0, 127),
-                                    axis=1),
-                            )
-                        return g
-
-                    g0 = u_tap(il8)
-                    g1 = u_tap(il8b)
-                    blocks.append(g0 + (g1 - g0) * fu[0:8, :])  # (8, TILE_W)
+                    g = jnp.take_along_axis(
+                        halves[0], jnp.minimum(il8, 127), axis=1)
+                    for h in range(1, RECT_W // 128):
+                        g = jnp.where(
+                            il8 < 128 * h, g,
+                            jnp.take_along_axis(
+                                halves[h],
+                                jnp.clip(il8 - 128 * h, 0, 127),
+                                axis=1),
+                        )
+                    mask = (1 << shift) - 1
+                    g0 = (g & mask).astype(f) * scale
+                    g1 = ((g >> shift) & mask).astype(f) * scale
+                    blocks.append(g0 + (g1 - g0) * fu8)      # (8, TILE_W)
                 return jnp.concatenate(blocks, axis=0)
 
             js = range(BRICK) if sgn > 0 else range(BRICK - 1, -1, -1)
@@ -383,8 +393,12 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 iu0 = jnp.clip(jnp.floor(qu).astype(jnp.int32), 0, Su - 1)
                 iu1 = jnp.minimum(iu0 + 1, Su - 1)
                 fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
+                # Volume right edge: the second tap is clamped onto the
+                # first (iu1 == iu0) — the packed pair would read the pad
+                # texel instead, so zero the lerp weight (exact: the old
+                # two-gather path produced g1 == g0 there).
+                fu = jnp.where(iu1 > iu0, fu, 0.0)
                 il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
-                il1 = jnp.clip(iu1 - u0a, 0, RECT_W - 1)
 
                 qv_min_t = jnp.min(jnp.where(cov, qv, f(1e30)))
                 r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - v0a
@@ -401,7 +415,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                     fp = jnp.clip(zp - kk0.astype(f), 0.0, 1.0)
                     pidx = kk0 - p0
 
-                colu = sample_rows(scratch, pidx, fp, il0, il1, fu, r_base8)
+                colu = sample_rows(scratch, pidx, fp, il0, fu, r_base8)
                 r_glob = (jax.lax.broadcasted_iota(
                     jnp.int32, (tile_h, 8 * span_blks), 1)
                     + v0a + r_base8).astype(f)
@@ -426,7 +440,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 else:
                     a_tf = jnp.clip((intensity - imin) * iinv, 0.0, 1.0)
                 if use_gradient:
-                    gcolu = sample_rows(gscratch, pidx, fp, il0, il1, fu,
+                    gcolu = sample_rows(gscratch, pidx, fp, il0, fu,
                                         r_base8)
                     gradient = jax.lax.dot_general(
                         what, gcolu, (((1,), (0,)), ((), ())),
@@ -497,6 +511,53 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
     nsamp_ref[:] = nsamp
 
 
+def grid_fields(u: FrameUniforms, wu_g, wv_g, sgn, p_axis, dim_max,
+                n_slabs):
+    """(s_lo, s_hi, covered, kappa) for w-grid rays, computed DIRECTLY in
+    w-space — replicating rays_from_dirs' entry/exit semantics (AABB slab
+    test + clip-plane entry clamp + frag-exact back-face recompute,
+    render/ray_setup.py) on the unnormalised direction (wu, wv, 1)·sgn.
+    Intervals are scale-invariant in |d|, so no 3-D normalisation, no
+    RaySetup construction, and no per-pixel division for wu/wv — the
+    per-pose grid-field cost inside the fused frame."""
+    f = jnp.float32
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    o = u.cam_pos_tex
+    d = [None, None, None]
+    d[p_axis] = jnp.full(wu_g.shape, f(sgn))
+    d[u_ax] = wu_g * f(sgn)
+    d[v_ax] = wv_g * f(sgn)
+    inv = [1.0 / d[a] for a in range(3)]
+    t_near = None
+    t_far = None
+    for a in range(3):
+        t0 = (0.0 - o[a]) * inv[a]
+        t1 = (1.0 - o[a]) * inv[a]
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t_near = lo if t_near is None else jnp.maximum(t_near, lo)
+        t_far = hi if t_far is None else jnp.minimum(t_far, hi)
+    plane = u.plane_tex
+    s_o = plane[0] * o[0] + plane[1] * o[1] + plane[2] * o[2] + plane[3]
+    s_d = plane[0] * d[0] + plane[1] * d[1] + plane[2] * d[2]
+    t_plane = jnp.where(s_d != 0.0, -s_o / jnp.where(s_d == 0.0, 1.0, s_d),
+                        jnp.float32(jnp.inf))
+    t_entry = jnp.where(s_d > 0.0, jnp.maximum(t_near, t_plane), t_near)
+    covered = (t_entry < t_far) & (t_far > 0.0)
+    entry = [o[a] + t_entry * d[a] for a in range(3)]
+    t_back = None
+    for a in range(3):
+        t2 = jnp.maximum(-entry[a] * inv[a], (1.0 - entry[a]) * inv[a])
+        t_back = t2 if t_back is None else jnp.minimum(t_back, t2)
+    s_a = entry[p_axis]
+    s_b = t_back * d[p_axis] + entry[p_axis]
+    s_lo = jnp.minimum(s_a, s_b)
+    s_hi = jnp.maximum(s_a, s_b)
+    kappa = (f(dim_max) / f(n_slabs)
+             * jnp.sqrt(1.0 + wu_g * wu_g + wv_g * wv_g))
+    return s_lo, s_hi, covered, kappa
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("p_axis", "R", "ert", "test", "count_samples",
@@ -505,14 +566,16 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
 )
 def _sweep_bricks_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
-    proj_view_model, grad_t=None,
+    proj_view_model, grad_t=None, grid=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, sgn, tile_h=16,
     span_blks=2, interpret=False, dist_leap=False, texture_tf=False,
 ):
     """Brick-kernel twin of sweep_pallas._sweep_pallas_jit (separable w-grid
-    rays only; ``sgn`` — the slab iteration direction — is static)."""
+    rays only; ``sgn`` — the slab iteration direction — is static).
+    ``grid`` = (wu, wv, s_lo, s_hi, kappa, covered) precomputed w-grid
+    fields (see grid_fields) — ``rays`` is then unused (pass None)."""
     f = jnp.float32
-    H, W = rays.valid.shape
+    H, W = (grid[0].shape if grid is not None else rays.valid.shape)
     Np, Sv, Su = vol_t.shape
     v_ax, u_ax = _SLICE_AXES[p_axis]
     Sv_pad = -(-max(Sv, R) // 8) * 8
@@ -534,23 +597,25 @@ def _sweep_bricks_jit(
     if Np < PLANES:
         raise ValueError(f"volume too shallow for brick kernel: {Np}")
 
-    d = rays.ray_dir
-    d_p = d[..., p_axis]
     o = uniforms.cam_pos_tex
     o_p, o_u, o_v = o[p_axis], o[u_ax], o[v_ax]
-
-    safe_dp = jnp.where(jnp.abs(d_p) < 1e-6,
-                        jnp.where(d_p < 0, -1e-6, 1e-6), d_p)
-    wu = d[..., u_ax] / safe_dp
-    wv = d[..., v_ax] / safe_dp
-    s_a = rays.entry[..., p_axis]
-    s_b = rays.exit[..., p_axis]
-    s_lo = jnp.minimum(s_a, s_b)
-    s_hi = jnp.maximum(s_a, s_b)
-    covered = rays.valid & (jnp.abs(d_p) > 1e-6)
     ds = 1.0 / n_slabs
     dim_max = max(Np, Sv, Su)
-    kappa = f(dim_max) * ds / jnp.abs(safe_dp)
+    if grid is not None:
+        wu, wv, s_lo, s_hi, kappa, covered = grid
+    else:
+        d = rays.ray_dir
+        d_p = d[..., p_axis]
+        safe_dp = jnp.where(jnp.abs(d_p) < 1e-6,
+                            jnp.where(d_p < 0, -1e-6, 1e-6), d_p)
+        wu = d[..., u_ax] / safe_dp
+        wv = d[..., v_ax] / safe_dp
+        s_a = rays.entry[..., p_axis]
+        s_b = rays.exit[..., p_axis]
+        s_lo = jnp.minimum(s_a, s_b)
+        s_hi = jnp.maximum(s_a, s_b)
+        covered = rays.valid & (jnp.abs(d_p) > 1e-6)
+        kappa = f(dim_max) * ds / jnp.abs(safe_dp)
 
     # Coarse 2D map (same construction as sweep_pallas; see its docstring).
     mp, mv, mu = occupancy_t.shape
@@ -696,7 +761,8 @@ def _sweep_bricks_jit(
     pen_clip = pen_h @ proj_view_model.T
     pen_depth = pen_clip[..., 2] / jnp.where(pen_clip[..., 3] == 0, 1.0,
                                              pen_clip[..., 3])
-    depth = jnp.where(hit, pen_depth, rays.depth_init)
+    depth_init = (jnp.zeros((H, W), f) if rays is None else rays.depth_init)
+    depth = jnp.where(hit, pen_depth, depth_init)
 
     if test == Test.NUM_TEXTURE_SAMPLES:
         n_steps_max = jnp.floor(

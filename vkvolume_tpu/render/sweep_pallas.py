@@ -1071,13 +1071,6 @@ def _frame_body(
     gxi = jax.lax.broadcasted_iota(f, (Hi_loc, Wi), 1)
     wu_g = wu0 + (gxi + 0.5) * dwu
     wv_g = wv0 + (gyi + 0.5) * dwv
-    dir_xyz = [None, None, None]
-    dir_xyz[p_axis] = jnp.full((Hi_loc, Wi), f(sgn_p))
-    dir_xyz[u_ax] = wu_g * f(sgn_p)
-    dir_xyz[v_ax] = wv_g * f(sgn_p)
-    dirs = jnp.stack(dir_xyz, -1)
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    rays_g = rays_from_dirs(uniforms, dirs)
 
     # Brick kernel (sweep_bricks.py) whenever the plan proved its rect
     # feasible and every voxel plane gets ≥1 slab (the plan's drift margins
@@ -1086,9 +1079,12 @@ def _frame_body(
             and Hi_loc % tile_h == 0:
         from . import sweep_bricks
 
+        s_lo_g, s_hi_g, cov_g, kappa_g = sweep_bricks.grid_fields(
+            uniforms, wu_g, wv_g, 1 if sgn_p > 0 else -1, p_axis,
+            max(vol_t.shape), n_slabs)
         grid_out = sweep_bricks._sweep_bricks_jit(
-            vol_t, occupancy_t, tf, rays_g, uniforms, proj_view_model,
-            grad_t,
+            vol_t, occupancy_t, tf, None, uniforms, proj_view_model,
+            grad_t, (wu_g, wv_g, s_lo_g, s_hi_g, kappa_g, cov_g),
             p_axis=p_axis, R=R_brick, ert=ert, test=test,
             count_samples=test == Test.NUM_TEXTURE_SAMPLES,
             n_slabs=n_slabs, sgn=1 if sgn_p > 0 else -1, tile_h=tile_h,
@@ -1096,6 +1092,13 @@ def _frame_body(
             interpret=interpret, dist_leap=dist_leap, texture_tf=texture_tf,
         )
     else:
+        dir_xyz = [None, None, None]
+        dir_xyz[p_axis] = jnp.full((Hi_loc, Wi), f(sgn_p))
+        dir_xyz[u_ax] = wu_g * f(sgn_p)
+        dir_xyz[v_ax] = wv_g * f(sgn_p)
+        dirs = jnp.stack(dir_xyz, -1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rays_g = rays_from_dirs(uniforms, dirs)
         if texture_tf:
             # Only the brick kernel implements the texture-TF variant; the
             # engine routes texture-TF frames here only when the plan
