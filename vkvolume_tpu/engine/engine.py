@@ -184,7 +184,14 @@ class Engine:
 
     def _tf(self, volume: Volume):
         o = volume.options
-        return tf_params(
+        key = (o.intensity_min, o.intensity_max, o.gradient_min,
+               o.gradient_max, o.sampling_factor, o.voxel_alpha_factor)
+        cached = getattr(volume, "_tf_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        # Building TFParams costs ~7 scalar device_puts (~0.9 ms each over
+        # the tunneled transport) — cache per volume, invalidated by value.
+        tf = tf_params(
             intensity_min=o.intensity_min,
             intensity_max=o.intensity_max,
             gradient_min=o.gradient_min,
@@ -192,6 +199,8 @@ class Engine:
             sampling_factor=o.sampling_factor,
             voxel_alpha_factor=o.voxel_alpha_factor,
         )
+        volume._tf_cache = (key, tf)
+        return tf
 
     def update_transfer_function(self, volume: Volume, timed_runs: int = 5) -> UpdateStats:
         """TF-edit recompute path (src/volume_render.cpp:392-445): bake the TF
@@ -472,7 +481,10 @@ class Engine:
         # pays only host-side analytic math (render/plan.py).
         use_depth = self.options.depth_attachment and depth_image is not None
         cam_key = (camera.view.tobytes(), camera.proj.tobytes(),
-                   float(self.options.clip_distance), height, width)
+                   float(self.options.clip_distance), height, width,
+                   # The cached uniforms/pvm also depend on the volume
+                   # transform (spin mode / translation edits).
+                   np.asarray(volume.model_matrix).tobytes())
         # Depth-clipped frames are never pose-cached: the depth buffer's
         # contents change per frame (and id() can be recycled), so cached
         # rays would clip against stale depths.
@@ -545,11 +557,16 @@ class Engine:
                 occ_t = sweep_mod.transpose_for_axis(src, p)
                 cache[occ_key] = occ_t
         tf = self._tf(volume)
-        pvm = jnp.asarray(
-            (camera.proj.astype(np.float64)
-             @ camera.view.astype(np.float64)
-             @ volume.model_matrix).astype(np.float32)
-        )
+        # pvm / grid params / homography coeffs are per-pose device scalars:
+        # each jnp.asarray is a ~0.9 ms dispatch over the tunneled
+        # transport, so a static camera must not rebuild them per frame.
+        pvm = pose.get("pvm")
+        if pvm is None:
+            pvm = pose["pvm"] = jnp.asarray(
+                (camera.proj.astype(np.float64)
+                 @ camera.view.astype(np.float64)
+                 @ volume.model_matrix).astype(np.float32)
+            )
         if self.renderer == "pallas":
             from ..render import sweep_pallas as sp
             from ..options import Test as _T
@@ -580,12 +597,16 @@ class Engine:
                     n_slabs = int(max(2, round(
                         vol_t.shape[0] * float(volume.options.sampling_factor)
                     )))
-                    gp = _jnp.asarray(
-                        [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]],
-                        _jnp.float32,
-                    )
-                    hcoef = (_jnp.asarray(plan["hcoef"], _jnp.float32)
-                             if plan.get("hcoef") is not None else None)
+                    gp = pose.get("gp")
+                    if gp is None:
+                        gp = pose["gp"] = _jnp.asarray(
+                            [plan["wu0"], plan["dwu"], plan["wv0"],
+                             plan["dwv"]], _jnp.float32,
+                        )
+                    hcoef = pose.get("hcoef")
+                    if hcoef is None and plan.get("hcoef") is not None:
+                        hcoef = pose["hcoef"] = _jnp.asarray(
+                            plan["hcoef"], _jnp.float32)
                     # The texture-TF variant exists only in the brick
                     # kernel; when that kernel is infeasible for this view
                     # the XLA sweep renders the frame.
