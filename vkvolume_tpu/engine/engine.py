@@ -148,6 +148,9 @@ class Engine:
         # Per-renderer frame counts: measures how often the fast path
         # actually runs vs the fallbacks (the plan can reject extreme views).
         self.renderer_counts = {"pallas": 0, "sweep": 0, "marcher": 0}
+        # (p_axis, sgn) -> frozen plan statics (bench.freeze_orbit_statics):
+        # pins every pose in a camera orbit to ONE kernel specialisation.
+        self.plan_force: dict = {}
 
     # ---- setup ----------------------------------------------------------
 
@@ -582,8 +585,15 @@ class Engine:
                 # reductions; cached per camera pose.
                 plan = pose.get("plan")
                 if "plan" not in pose:
+                    force = self.plan_force.get(
+                        (p, 1.0 if view["sgn"] >= 0 else -1.0))
                     plan = sp.plan_from_stats(view, uniforms, p, vol_t.shape,
-                                              height, width)
+                                              height, width, force=force)
+                    if plan is None and force is not None:
+                        # Pose outside the frozen envelope (outlier band):
+                        # fall back to its own specialisation.
+                        plan = sp.plan_from_stats(view, uniforms, p,
+                                                  vol_t.shape, height, width)
                     pose["plan"] = plan
                 if plan is not None:
                     import jax.numpy as _jnp

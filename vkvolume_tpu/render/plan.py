@@ -73,9 +73,14 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     → caller must fall back to the per-ray marcher). None when no ray hits
     the volume.
     """
-    # Coarse interior grid + denser boundary for extrema.
-    ys = np.linspace(0, height - 1, grid)
-    xs = np.linspace(0, width - 1, 2 * grid)
+    # ONE pixel lattice serves extrema, medians, mixed-sign detection AND
+    # the per-tile span bounds (this function runs per pose on the orbit's
+    # host-plan path; the previous separate coarse grid doubled the
+    # unprojection/validity work).
+    step_y = 8 if height >= 512 else 2
+    step_x = 8 if width >= 512 else 2
+    ys = np.arange(0.0, height + step_y - 1.0, float(step_y)) - 0.5
+    xs = np.arange(0.0, width + step_x - 1.0, float(step_x)) - 0.5
     py, px = np.meshgrid(ys, xs, indexing="ij")
     d, o = _pixel_dirs(u, height, width, py, px)
     valid = _valid_mask(u, d, o)
@@ -154,37 +159,22 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     du_q = float(np.median(du_f))
     dv_q = float(np.median(dv_f))
 
-    # Per-tile span bounds on an 8-pixel corner lattice: the slope of wu/wv
-    # varies strongly across a wide-FOV image, so a global-max-slope bound
-    # would be ~10× pessimistic; instead evaluate on every tile's actual
-    # corners and take max-min per aligned tile (+15% curvature margin).
-    step_y = 8 if height >= 512 else 2
-    step_x = 8 if width >= 512 else 2
-    ys8 = np.arange(0.0, height + step_y - 1.0, float(step_y))
-    xs8 = np.arange(0.0, width + step_x - 1.0, float(step_x))
-    ly, lx = np.meshgrid(ys8 - 0.5, xs8 - 0.5, indexing="ij")
-    dl, _ = _pixel_dirs(u, height, width, ly, lx)
-    val_l = _valid_mask(u, dl, o)
-    dlp = dl[..., p_axis]
-    okl = np.abs(dlp) > 1e-9 * np.linalg.norm(dl, axis=-1)
-    # Span uses strictly valid samples: dilating into the invalid region
-    # reaches the wu blow-up zone past the silhouette/clip boundary and
-    # inflates the bound ~2-3× (measured), which forces the catastrophic
-    # non-Pallas fallback. Valid pixels between lattice samples are covered
-    # by the 15% curvature margin (an 8 px cell of a projective map is
-    # near-linear).
-    sel_l = val_l & okl
-    with np.errstate(divide="ignore", invalid="ignore"):
-        wu_l = np.where(sel_l, dl[..., u_ax] / np.where(okl, dlp, 1.0), np.nan)
-        wv_l = np.where(sel_l, dl[..., v_ax] / np.where(okl, dlp, 1.0), np.nan)
-
-    th = max(1, 8 // step_y)
-    tw = max(1, 128 // step_x)
-    span_wu = 1.2 * tile_span_from_lattice(wu_l, th, tw)
-    span_wv = 1.2 * tile_span_from_lattice(wv_l, th, tw)
+    # Per-tile span bounds on the same lattice: the slope of wu/wv varies
+    # strongly across a wide-FOV image, so a global-max-slope bound would
+    # be ~10× pessimistic; instead evaluate on every tile's actual corners
+    # and take max-min per aligned tile (+15% curvature margin). Spans use
+    # strictly valid samples: dilating into the invalid region reaches the
+    # wu blow-up zone past the silhouette/clip boundary and inflates the
+    # bound ~2-3× (measured), which forces the catastrophic non-Pallas
+    # fallback. Valid pixels between lattice samples are covered by the
+    # margin (an 8 px cell of a projective map is near-linear).
+    th = max(1, int(round(8 / step_y)))
+    tw = max(1, int(round(128 / step_x)))
+    span_wu = 1.2 * tile_span_from_lattice(wu, th, tw)
+    span_wv = 1.2 * tile_span_from_lattice(wv, th, tw)
     # Transposed tiles (128 px along i, 8 along j) for the two-pass warp.
-    span_wv_t = 1.2 * tile_span_from_lattice(wv_l, 128 // step_y,
-                                             max(1, 8 // step_x))
+    span_wv_t = 1.2 * tile_span_from_lattice(
+        wv, max(1, int(round(128 / step_y))), max(1, int(round(8 / step_x))))
 
     return dict(
         any_sel=1.0, mixed=False, p_axis=p_axis, sgn=sgn,
@@ -198,20 +188,36 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
 def tile_span_from_lattice(a: np.ndarray, th: int, tw: int) -> float:
     """Max per-tile (max-min) of lattice samples; tiles are aligned (th×tw)
     windows of lattice CELLS, i.e. (th+1)×(tw+1) corner samples each.
-    NaN marks invalid samples (ignored); fully-invalid tiles are skipped."""
+    NaN marks invalid samples (ignored); fully-invalid tiles are skipped.
+
+    Separable log-doubling sliding max/min (this runs per pose on the
+    orbit's host-plan path — the windowed np.ix_ loop it replaces cost
+    ~4 ms per call at full-image lattices)."""
     R, C = a.shape
-    nty = max(1, -(-(R - 1) // th))
-    ntx = max(1, -(-(C - 1) // tw))
-    mn = np.full((nty, ntx), np.inf)
-    mx = np.full((nty, ntx), -np.inf)
-    for oy in range(th + 1):
-        rows = np.minimum(np.arange(nty) * th + oy, R - 1)
-        for ox in range(tw + 1):
-            cols = np.minimum(np.arange(ntx) * tw + ox, C - 1)
-            sub = a[np.ix_(rows, cols)]
-            mn = np.fmin(mn, sub)
-            mx = np.fmax(mx, sub)
-    sp = (mx - mn)
+    pad_r = (-(R - 1) % th) if R > 1 else th
+    pad_c = (-(C - 1) % tw) if C > 1 else tw
+    ap = np.pad(a, ((0, pad_r + 1), (0, pad_c + 1)), mode="edge")
+    # Edge-padding repeats the last sample, which matches the clamped
+    # indices of the replaced loop.
+
+    def win(arr, fn, w, axis):
+        """out[i] = fn over arr[i : i+w] along axis (log-doubling)."""
+        r = arr
+        span = 1
+        while span < w:
+            step = min(span, w - span)
+            n = r.shape[axis] - step
+            sl_a = [slice(None)] * r.ndim
+            sl_b = [slice(None)] * r.ndim
+            sl_a[axis] = slice(0, n)
+            sl_b[axis] = slice(step, step + n)
+            r = fn(r[tuple(sl_a)], r[tuple(sl_b)])
+            span += step
+        return r
+
+    mx = win(win(ap, np.fmax, tw + 1, 1), np.fmax, th + 1, 0)[::th, ::tw]
+    mn = win(win(ap, np.fmin, tw + 1, 1), np.fmin, th + 1, 0)[::th, ::tw]
+    sp = mx - mn
     sp = sp[np.isfinite(sp)]
     return float(sp.max()) if sp.size else 0.0
 
@@ -305,7 +311,8 @@ def _pick_rect(span, src_width, quantum: int = 512):
 
 
 def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
-                       plan: dict, view: dict) -> dict | None:
+                       plan: dict, view: dict,
+                       only_variant: str | None = None) -> dict | None:
     """Feasibility + rect widths for the two-pass projective warp; None →
     caller uses the single-pass warp.
 
@@ -329,29 +336,31 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
 
     cands = []
 
-    yg, j = np.meshgrid(np.arange(0.0, Hi + 7.0, 8.0),
-                        np.arange(0.0, width + 7.0, 8.0), indexing="ij")
-    xa, ihat = pass_a_positions_np(hc, plan, yg, j)
-    ok = np.isfinite(xa) & (ihat >= -16.0) & (ihat <= height + 15.0)
-    if ok.any():
-        xa = np.where(ok, xa, np.nan)
-        span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
-        ra = _pick_rect(span_a, Wi)
-        rb = _pick_rect(view["span_wv_t"] / plan["dwv"], Hi)
-        if ra is not None and rb is not None:
-            cands.append(("A", ra, rb))
+    if only_variant in (None, "A"):
+        yg, j = np.meshgrid(np.arange(0.0, Hi + 7.0, 8.0),
+                            np.arange(0.0, width + 7.0, 8.0), indexing="ij")
+        xa, ihat = pass_a_positions_np(hc, plan, yg, j)
+        ok = np.isfinite(xa) & (ihat >= -16.0) & (ihat <= height + 15.0)
+        if ok.any():
+            xa = np.where(ok, xa, np.nan)
+            span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
+            ra = _pick_rect(span_a, Wi)
+            rb = _pick_rect(view["span_wv_t"] / plan["dwv"], Hi)
+            if ra is not None and rb is not None:
+                cands.append(("A", ra, rb))
 
-    xg, ii = np.meshgrid(np.arange(0.0, Wi + 7.0, 8.0),
-                         np.arange(0.0, height + 7.0, 8.0), indexing="ij")
-    yb, jhat = pass_b1_positions_np(hc, plan, xg, ii)
-    okb = np.isfinite(yb) & (jhat >= -16.0) & (jhat <= width + 15.0)
-    if okb.any():
-        yb = np.where(okb, yb, np.nan)
-        span_1 = 1.15 * tile_span_from_lattice(yb, 1, 16)
-        r1 = _pick_rect(span_1, Hi)
-        r2 = _pick_rect(view["span_wu"] / plan["dwu"], Wi)
-        if r1 is not None and r2 is not None:
-            cands.append(("B", r1, r2))
+    if only_variant in (None, "B"):
+        xg, ii = np.meshgrid(np.arange(0.0, Wi + 7.0, 8.0),
+                             np.arange(0.0, height + 7.0, 8.0), indexing="ij")
+        yb, jhat = pass_b1_positions_np(hc, plan, xg, ii)
+        okb = np.isfinite(yb) & (jhat >= -16.0) & (jhat <= width + 15.0)
+        if okb.any():
+            yb = np.where(okb, yb, np.nan)
+            span_1 = 1.15 * tile_span_from_lattice(yb, 1, 16)
+            r1 = _pick_rect(span_1, Hi)
+            r2 = _pick_rect(view["span_wu"] / plan["dwu"], Wi)
+            if r1 is not None and r2 is not None:
+                cands.append(("B", r1, r2))
 
     if not cands:
         return None

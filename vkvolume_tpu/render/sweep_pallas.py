@@ -894,7 +894,8 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
 
 
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
-                    height: int, width: int, max_oversample: float = 2.5):
+                    height: int, width: int, max_oversample: float = 2.5,
+                    force: dict | None = None):
     """Grid sizing + static kernel parameters from the view statistics.
 
     Searches over a grid-coarsening factor: diagonal views (|wu| → large)
@@ -903,7 +904,14 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     enforced at every factor). Quality degrades gracefully — up to ~2×
     undersampling of the median pixel footprint — which beats the order-of-
     magnitude cost of the non-Pallas fallback. Returns None when no factor
-    satisfies the kernel limits."""
+    satisfies the kernel limits.
+
+    ``force`` pins every jit-static field (Hi/Wi/tile_h/R_brick/span_blks/
+    R_sweep/RECT_A/RECT_B/warp_variant) to a pre-computed envelope — ONE
+    kernel specialisation covers a whole camera orbit (bench/harness.py:
+    freeze_orbit_statics). Only the pose-dependent floats are recomputed;
+    feasibility of the forced statics is re-verified per pose (None on
+    violation — the caller falls back)."""
     Np, Sv, Su = vol_shape_t
     if not st["any_sel"]:
         return None
@@ -939,6 +947,46 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     from . import warp_pallas as _wp
 
     sgn_p = 1.0 if st["sgn"] >= 0 else -1.0
+
+    if force is not None:
+        Hi, Wi = force["Hi"], force["Wi"]
+        if Wi < Wi_k - 1e-6:
+            return None
+        dwu = (wu_hi - wu_lo) / Wi
+        dwv = (wv_hi - wv_lo) / Hi
+        tile_h = force["tile_h"]
+        R_brick = force["R_brick"]
+        span_blks = force["span_blks"]
+        R_sweep = force["R_sweep"]
+        if 8.0 * dwv * Sv * t_max > R_sweep - 10:
+            return None
+        if R_brick is not None:
+            span = tile_h * dwv * Sv * t_max
+            sb_need = -(-int(span + 10.0) // 8)
+            if (max(8 * span_blks, int(span + drift_bv + 11.0)) > R_brick
+                    or sb_need > span_blks
+                    or 128.0 * dwu * Su * t_max + drift_bu > RECT_W - 132):
+                return None
+        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep,
+                    R_warp=force.get("R_warp"),
+                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
+                    tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
+                    RECT_A=None, RECT_B=None, hcoef=None)
+        if force.get("RECT_A") is not None and "span_wv_t" in st:
+            from . import plan as plan_mod
+
+            tp = plan_mod.two_pass_warp_plan(
+                uniforms, p_axis, height, width, plan, st,
+                only_variant=force.get("warp_variant", "A"))
+            if (tp is not None and tp["RECT_A"] <= force["RECT_A"]
+                    and tp["RECT_B"] <= force["RECT_B"]):
+                plan.update(tp)
+                plan["RECT_A"] = force["RECT_A"]
+                plan["RECT_B"] = force["RECT_B"]
+        if plan["RECT_A"] is None and plan["R_warp"] is None:
+            plan["warp_xla"] = True
+        return plan
+
     # Grid-size allowance: proportional for big images, with an absolute
     # floor so small images can still host the range-driven grid the sweep
     # footprint limits demand (grid size is range-driven, not image-driven).
