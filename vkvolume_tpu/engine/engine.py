@@ -151,6 +151,10 @@ class Engine:
         # (p_axis, sgn) -> frozen plan statics (bench.freeze_orbit_statics):
         # pins every pose in a camera orbit to ONE kernel specialisation.
         self.plan_force: dict = {}
+        # Static combos the compile service refused (HTTP 500): retrying
+        # re-issues a multi-minute remote compile per FRAME — remember and
+        # fall back immediately instead.
+        self._failed_specs: set = set()
 
     # ---- setup ----------------------------------------------------------
 
@@ -624,6 +628,17 @@ class Engine:
                             plan.get("R_brick") is None
                             or n_slabs < vol_t.shape[0]):
                         plan = None
+                spec_key = None
+                if plan is not None:
+                    spec_key = (plan["Hi"], plan["Wi"], plan["R_sweep"],
+                                plan["R_warp"], plan.get("tile_h"),
+                                plan.get("R_brick"), plan.get("span_blks"),
+                                plan["RECT_A"], plan["RECT_B"],
+                                plan.get("warp_variant"), p, plan["sgn_p"],
+                                height, width, self.options.test,
+                                self.options.early_ray_termination)
+                    if spec_key in self._failed_specs:
+                        plan = None
                 if plan is not None:
                     try:
                         out = sp._frame_jit(
@@ -651,9 +666,13 @@ class Engine:
                         # The remote Mosaic compile service occasionally
                         # fails on a fresh (Hi, Wi, RECT) specialisation;
                         # the XLA sweep renders the frame (slowly) instead
-                        # of dying. Cached specialisations are unaffected.
+                        # of dying. Cached specialisations are unaffected;
+                        # the failed combo is memoised so later frames
+                        # don't re-issue the multi-minute remote compile.
                         import sys
 
+                        if spec_key is not None:
+                            self._failed_specs.add(spec_key)
                         print("WARNING: Pallas frame unavailable "
                               f"({str(e)[:120]}); using the XLA sweep",
                               file=sys.stderr)

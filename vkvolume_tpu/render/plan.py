@@ -88,20 +88,42 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
         return None
 
     # Principal axis from the mean valid direction (normalize first so the
-    # mean is direction-weighted like sweep.principal_axis).
+    # mean is direction-weighted like sweep.principal_axis). If the
+    # preferred axis is sign-mixed over the valid rays (wide-FOV frames
+    # near 45°+fov/2 off-axis), try the remaining axes by |mean| — an
+    # oblique but single-signed sweep axis beats the seconds-per-frame
+    # marcher fallback; only an all-axes-mixed frame (camera inside the
+    # volume) truly needs the marcher.
     dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
     mean = dn[valid].mean(axis=0)
-    p_axis = int(np.argmax(np.abs(mean)))
-    v_ax, u_ax = _SLICE_AXES[p_axis]
-
-    d_p = d[..., p_axis]
-    ok = np.abs(d_p) > 1e-9 * np.linalg.norm(d, axis=-1)
-    sel = valid & ok
-    if not sel.any():
+    dnorm = np.linalg.norm(d, axis=-1)
+    p_axis = sel = None
+    mixed = True
+    sgn = 1.0
+    for cand in np.argsort(-np.abs(mean)):
+        d_p = d[..., cand]
+        ok = np.abs(d_p) > 1e-9 * dnorm
+        sel_c = valid & ok
+        if not sel_c.any():
+            continue
+        dpv = d_p[sel_c]
+        mixed_c = bool((dpv > 0).any() and (dpv < 0).any())
+        if p_axis is None:
+            p_axis = int(cand)
+            sel = sel_c
+            mixed = mixed_c
+            sgn = 1.0 if np.median(dpv) >= 0 else -1.0
+        if not mixed_c:
+            p_axis = int(cand)
+            sel = sel_c
+            mixed = False
+            sgn = 1.0 if np.median(dpv) >= 0 else -1.0
+            break
+    if p_axis is None:
         return None
-    dpv = d_p[sel]
-    mixed = bool((dpv > 0).any() and (dpv < 0).any())
-    sgn = 1.0 if np.median(dpv) >= 0 else -1.0
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    d_p = d[..., p_axis]
+    ok = np.abs(d_p) > 1e-9 * dnorm
 
     with np.errstate(divide="ignore", invalid="ignore"):
         wu = np.where(sel, d[..., u_ax] / np.where(ok, d_p, 1.0), np.nan)
@@ -109,20 +131,31 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
 
     # Exact extrema of wu/wv over cube-hitting rays: cube corners (see
     # module docstring), intersected with the sampled in-frustum range.
-    o3 = o
-    corners = np.array(
-        [[i, j, k] for i in (0.0, 1.0) for j in (0.0, 1.0) for k in (0.0, 1.0)]
-    )
-    cd = corners - o3
-    cd_p = cd[:, p_axis]
-    if mixed or np.abs(cd_p).min() < 1e-9:
-        # Denominator changes sign across the cube: the linear-fractional
-        # argument fails; report mixed so the caller uses the marcher.
+    if mixed:
+        # Valid rays genuinely straddle the principal-axis sign: no global
+        # slab order composites front-to-back — the caller must use the
+        # per-ray marcher.
         return dict(any_sel=1.0, mixed=True, p_axis=p_axis, sgn=sgn,
                     wu_lo=np.nan, wu_hi=np.nan, wv_lo=np.nan, wv_hi=np.nan,
                     du_q=np.nan, dv_q=np.nan, span_wu=np.nan, span_wv=np.nan)
-    cwu = cd[:, u_ax] / cd_p
-    cwv = cd[:, v_ax] / cd_p
+    corners = np.array(
+        [[i, j, k] for i in (0.0, 1.0) for j in (0.0, 1.0) for k in (0.0, 1.0)]
+    )
+    cd = corners - o
+    cd_p = cd[:, p_axis]
+    if np.abs(cd_p).min() >= 1e-9 and (cd_p > 0).all() == (sgn > 0) \
+            and ((cd_p > 0).all() or (cd_p < 0).all()):
+        # Linear-fractional extremum argument holds: cube-corner ranges
+        # clamp the sampled in-frustum ranges.
+        cwu = cd[:, u_ax] / cd_p
+        cwv = cd[:, v_ax] / cd_p
+    else:
+        # A cube corner sits near (or across) the p-perpendicular plane
+        # through the camera: the corner clamp is unusable, but the VALID
+        # rays still share one sign, so the padded sampled ranges alone
+        # bound them (the sweep remains usable — previously this bailed to
+        # the seconds-per-frame marcher for ~2 % of orbit poses).
+        cwu = cwv = None
 
     # In-frustum range from the grid samples, padded by one local grid step
     # of slope (valid pixels between samples).
@@ -132,6 +165,8 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
         da_y = np.abs(np.diff(a, axis=0))
         pad = max(np.nanmax(da_x) if np.isfinite(da_x).any() else 0.0,
                   np.nanmax(da_y) if np.isfinite(da_y).any() else 0.0)
+        if corner_vals is None:
+            return lo_s - pad, hi_s + pad
         lo = max(lo_s - pad, corner_vals.min())
         hi = min(hi_s + pad, corner_vals.max())
         return lo, hi
