@@ -640,9 +640,16 @@ class Engine:
                     if spec_key in self._failed_specs:
                         plan = None
                 if plan is not None:
+                    # Device copy of the (host-numpy) uniforms, cached per
+                    # pose: a static camera then re-sends nothing, while
+                    # planning code reads the host leaves without a synced
+                    # device→host round trip (make_uniforms docstring).
+                    u_dev = pose.get("uniforms_dev")
+                    if u_dev is None:
+                        u_dev = pose["uniforms_dev"] = jax.device_put(uniforms)
                     try:
                         out = sp._frame_jit(
-                            vol_t, occ_arr, tf, rays, uniforms, pvm, gp,
+                            vol_t, occ_arr, tf, rays, u_dev, pvm, gp,
                             grad_t if tf.use_gradient else None, hcoef,
                             height=height, width=width,
                             p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],

@@ -85,7 +85,13 @@ def make_uniforms(
         + (2 if plane_tex[1] < 0 else 0)
         + (4 if plane_tex[2] < 0 else 0)
     )
-    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    # HOST numpy leaves, not device arrays: the host-analytic frame plan
+    # (render/plan.py) reads these every fresh pose, and a device-array
+    # leaf turns each read into a synced device→host round trip (~34 ms on
+    # the tunneled transport) that also drains the queued frame pipeline —
+    # measured at 171 ms/pose, the dominant orbit cost. As jit arguments
+    # numpy leaves are device_put asynchronously at dispatch.
+    f32 = lambda a: np.asarray(a, np.float32)
     return FrameUniforms(
         view=f32(view),
         proj=f32(proj),
@@ -97,7 +103,7 @@ def make_uniforms(
         plane_tex=f32(plane_tex),
         cam_pos_tex=f32(cam_pos_tex),
         block_size=f32(block_size_xyz),
-        front_index=jnp.int32(front_index),
+        front_index=np.int32(front_index),
     )
 
 
