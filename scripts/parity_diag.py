@@ -48,6 +48,14 @@ from vkvolume_tpu.render.plan import analyze_view
 
 view = analyze_view(u, H, W)
 p = view["p_axis"]
+_shape_t = {2: vol.density.shape,
+            1: (vol.density.shape[1], vol.density.shape[0],
+                vol.density.shape[2]),
+            0: (vol.density.shape[2], vol.density.shape[0],
+                vol.density.shape[1])}[p]
+_pl = sp.plan_from_stats(view, u, p, _shape_t, H, W)
+print(f"plan: Hi={_pl['Hi']} Wi={_pl['Wi']} (grid area "
+      f"{_pl['Hi']*_pl['Wi']/1e6:.2f} Mpx vs image {H*W/1e6:.2f})", flush=True)
 vol_t = sweep_mod.transpose_for_axis(vol.density, p)
 grad_t = (sweep_mod.transpose_for_axis(vol.gradient, p)
           if vol.gradient is not None else None)

@@ -77,8 +77,13 @@ t0 = time.perf_counter()
 plans = []
 for u, v in zip(us, views):
     p = v["p_axis"]
-    f = eng.plan_force.get((p, 1.0 if v["sgn"] >= 0 else -1.0))
-    plans.append(sp.plan_from_stats(v, u, p, shp[p], H, W, force=f))
+    fs = eng.plan_force.get((p, 1.0 if v["sgn"] >= 0 else -1.0)) or [None]
+    pl = None
+    for f in fs:
+        pl = sp.plan_from_stats(v, u, p, shp[p], H, W, force=f)
+        if pl is not None:
+            break
+    plans.append(pl)
 t_plan = (time.perf_counter() - t0) / len(cams) * 1e3
 print(f"host: uniforms {t_uni:.2f} ms  analyze {t_view:.2f} ms  "
       f"plan {t_plan:.2f} ms  per pose", flush=True)

@@ -20,9 +20,10 @@ cam_for = lambda i: benchmark_camera(aspect, azimuth=30.0 + 2.0 * i)
 
 span = [cam_for(i) for i in np.arange(-0.5, 51.0, 0.5)]
 force = freeze_orbit_statics(eng, vol, span, W, H)
-print("groups:", {k: {kk: v[kk] for kk in ("Hi", "Wi", "R_brick", "RECT_A",
-                                           "RECT_B", "warp_variant")}
-                  for k, v in force.items()}, flush=True)
+print("groups:", {k: [{kk: t[kk] for kk in ("Hi", "Wi", "R_brick", "RECT_A",
+                                            "RECT_B", "warp_variant")}
+                       for t in tiers]
+                  for k, tiers in force.items()}, flush=True)
 
 # Warm two bucket representatives.
 for i in (0, 25):

@@ -74,21 +74,12 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             continue
         groups.setdefault((p, plan["sgn_p"]), []).append((plan, u, view))
 
-    force = {}
-    for key, entries in groups.items():
-        plans = [pl for pl, _, _ in entries]
-        # Trim outlier poses (the near-diagonal band inflates Hi·Wi by an
-        # order of magnitude; folding them into the envelope would both
-        # balloon every pose's grid AND blow the warp's grid-unit spans).
-        # Excluded poses simply keep their own per-pose plan (the engine
-        # retries unforced when a pose rejects the frozen statics); a group
-        # that is ALL outliers stays unfrozen.
-        areas = sorted(pl["Hi"] * pl["Wi"] for pl in plans)
-        med = areas[len(areas) // 2]
-        kept = [pl for pl in plans if pl["Hi"] * pl["Wi"] <= 1.35 * med
-                and pl["R_brick"] is not None]
+    def envelope(key, subset, entries):
+        """One force dict covering every plan in ``subset`` (max-envelope of
+        the jit statics + warp rects measured under the frozen dims)."""
+        kept = [pl for pl in subset if pl["R_brick"] is not None]
         if not kept:
-            continue
+            return None
         tile_h = min(pl["tile_h"] for pl in kept)
         span_blks = max(pl["span_blks"] for pl in kept)
         R_brick = max(max(pl["R_brick"] for pl in kept), 8 * span_blks)
@@ -125,11 +116,33 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                 rb = min(max(n[1] for n in needs), cap_b)
             else:
                 wv = None
-        force[key] = dict(
+        return dict(
             Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
             span_blks=span_blks, R_sweep=R_sweep,
             R_warp=None, RECT_A=ra, RECT_B=rb, warp_variant=wv,
         )
+
+    force = {}
+    for key, entries in groups.items():
+        plans = [pl for pl, _, _ in entries]
+        # Trim outlier poses (the near-diagonal band inflates Hi·Wi by an
+        # order of magnitude; folding them into the main envelope would both
+        # balloon every pose's grid AND blow the warp's grid-unit spans).
+        # The outliers get a SECOND, larger envelope of their own — the
+        # group then needs at most two compiled specialisations instead of
+        # one per outlier pose (each of which is a fresh multi-minute
+        # remote Mosaic compile the service may refuse mid-run).
+        areas = sorted(pl["Hi"] * pl["Wi"] for pl in plans)
+        med = areas[len(areas) // 2]
+        kept = [pl for pl in plans if pl["Hi"] * pl["Wi"] <= 1.35 * med]
+        out = [pl for pl in plans if pl["Hi"] * pl["Wi"] > 1.35 * med]
+        tiers = []
+        for subset in (kept, out):
+            env = envelope(key, subset, entries)
+            if env is not None and env not in tiers:
+                tiers.append(env)
+        if tiers:
+            force[key] = tiers
     eng.plan_force = force
     return force
 
@@ -330,6 +343,12 @@ def stage_breakdown(eng, cam, width: int, height: int,
     a, k = captured["a"], captured["k"]
     vol_t, _occ, tf, rays, uniforms, _pvm, gp = a[:7]
     hcoef = a[8] if len(a) > 8 else k.get("hcoef")
+    from ..render.ray_setup import FrameUniforms as _FU
+
+    if not isinstance(uniforms, _FU):
+        # Packed per-pose scalars (engine fast path): unpack on the host.
+        uniforms, _pvm, gp, hcoef = sp.unpack_frame_scalars(
+            np.asarray(uniforms))
     if rays is None:
         # The engine builds the ray setup inside the frame jit; the staged
         # warp timing needs it as a standalone array.

@@ -151,10 +151,14 @@ class Engine:
         # (p_axis, sgn) -> frozen plan statics (bench.freeze_orbit_statics):
         # pins every pose in a camera orbit to ONE kernel specialisation.
         self.plan_force: dict = {}
-        # Static combos the compile service refused (HTTP 500): retrying
-        # re-issues a multi-minute remote compile per FRAME — remember and
-        # fall back immediately instead.
-        self._failed_specs: set = set()
+        # Static combos the compile service refused (HTTP 500), with
+        # refusal counts: the 500s are often transient, so a refused spec
+        # is retried up to _SPEC_RETRIES times before it is written off
+        # (retrying re-issues a multi-minute remote compile, so the cap
+        # matters; a spec that compiled is served from the persistent
+        # cache and never re-enters this path).
+        self._failed_specs: dict = {}
+        self._SPEC_RETRIES = 3
 
     # ---- setup ----------------------------------------------------------
 
@@ -564,16 +568,14 @@ class Engine:
                 occ_t = sweep_mod.transpose_for_axis(src, p)
                 cache[occ_key] = occ_t
         tf = self._tf(volume)
-        # pvm / grid params / homography coeffs are per-pose device scalars:
-        # each jnp.asarray is a ~0.9 ms dispatch over the tunneled
-        # transport, so a static camera must not rebuild them per frame.
-        pvm = pose.get("pvm")
-        if pvm is None:
-            pvm = pose["pvm"] = jnp.asarray(
-                (camera.proj.astype(np.float64)
-                 @ camera.view.astype(np.float64)
-                 @ volume.model_matrix).astype(np.float32)
-            )
+        # Host proj·view·model (float64 product, f32 result) once per pose;
+        # the device copy is built only where a path needs it.
+        pvm_h = pose.get("pvm_h")
+        if pvm_h is None:
+            pvm_h = pose["pvm_h"] = (
+                camera.proj.astype(np.float64)
+                @ camera.view.astype(np.float64)
+                @ volume.model_matrix).astype(np.float32)
         if self.renderer == "pallas":
             from ..render import sweep_pallas as sp
             from ..options import Test as _T
@@ -589,13 +591,22 @@ class Engine:
                 # reductions; cached per camera pose.
                 plan = pose.get("plan")
                 if "plan" not in pose:
-                    force = self.plan_force.get(
-                        (p, 1.0 if view["sgn"] >= 0 else -1.0))
-                    plan = sp.plan_from_stats(view, uniforms, p, vol_t.shape,
-                                              height, width, force=force)
-                    if plan is None and force is not None:
-                        # Pose outside the frozen envelope (outlier band):
-                        # fall back to its own specialisation.
+                    forces = self.plan_force.get(
+                        (p, 1.0 if view["sgn"] >= 0 else -1.0)) or []
+                    if isinstance(forces, dict):
+                        forces = [forces]
+                    plan = None
+                    # Envelope tiers (bench.freeze_orbit_statics): the main
+                    # envelope first, then the outlier-band envelope; only a
+                    # pose rejecting every tier compiles its own
+                    # specialisation.
+                    for force in forces:
+                        plan = sp.plan_from_stats(view, uniforms, p,
+                                                  vol_t.shape, height, width,
+                                                  force=force)
+                        if plan is not None:
+                            break
+                    if plan is None:
                         plan = sp.plan_from_stats(view, uniforms, p,
                                                   vol_t.shape, height, width)
                     pose["plan"] = plan
@@ -611,16 +622,6 @@ class Engine:
                     n_slabs = int(max(2, round(
                         vol_t.shape[0] * float(volume.options.sampling_factor)
                     )))
-                    gp = pose.get("gp")
-                    if gp is None:
-                        gp = pose["gp"] = _jnp.asarray(
-                            [plan["wu0"], plan["dwu"], plan["wv0"],
-                             plan["dwv"]], _jnp.float32,
-                        )
-                    hcoef = pose.get("hcoef")
-                    if hcoef is None and plan.get("hcoef") is not None:
-                        hcoef = pose["hcoef"] = _jnp.asarray(
-                            plan["hcoef"], _jnp.float32)
                     # The texture-TF variant exists only in the brick
                     # kernel; when that kernel is infeasible for this view
                     # the XLA sweep renders the frame.
@@ -637,20 +638,27 @@ class Engine:
                                 plan.get("warp_variant"), p, plan["sgn_p"],
                                 height, width, self.options.test,
                                 self.options.early_ray_termination)
-                    if spec_key in self._failed_specs:
+                    if self._failed_specs.get(spec_key, 0) >= \
+                            self._SPEC_RETRIES:
                         plan = None
                 if plan is not None:
-                    # Device copy of the (host-numpy) uniforms, cached per
-                    # pose: a static camera then re-sends nothing, while
-                    # planning code reads the host leaves without a synced
-                    # device→host round trip (make_uniforms docstring).
-                    u_dev = pose.get("uniforms_dev")
-                    if u_dev is None:
-                        u_dev = pose["uniforms_dev"] = jax.device_put(uniforms)
+                    # ONE per-pose device transfer: every per-pose float
+                    # (uniform leaves, pvm, grid params, homography coeffs)
+                    # rides a single packed array (sweep_pallas.
+                    # pack_frame_scalars), cached per pose — a static
+                    # camera re-sends nothing, a fresh pose pays one
+                    # dispatch instead of ~14.
+                    packed = pose.get("packed_dev")
+                    if packed is None:
+                        packed = pose["packed_dev"] = _jnp.asarray(
+                            sp.pack_frame_scalars(
+                                uniforms, pvm_h,
+                                [plan["wu0"], plan["dwu"], plan["wv0"],
+                                 plan["dwv"]], plan.get("hcoef")))
                     try:
                         out = sp._frame_jit(
-                            vol_t, occ_arr, tf, rays, u_dev, pvm, gp,
-                            grad_t if tf.use_gradient else None, hcoef,
+                            vol_t, occ_arr, tf, rays, packed, None, None,
+                            grad_t if tf.use_gradient else None, None,
                             height=height, width=width,
                             p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
                             R_sweep=plan["R_sweep"], R_warp=plan["R_warp"],
@@ -679,7 +687,8 @@ class Engine:
                         import sys
 
                         if spec_key is not None:
-                            self._failed_specs.add(spec_key)
+                            self._failed_specs[spec_key] = (
+                                self._failed_specs.get(spec_key, 0) + 1)
                         print("WARNING: Pallas frame unavailable "
                               f"({str(e)[:120]}); using the XLA sweep",
                               file=sys.stderr)
@@ -690,6 +699,10 @@ class Engine:
             rays = pose["rays"] = make_rays(
                 uniforms, height, width,
                 depth_image=depth_image, use_depth=use_depth)
+
+        pvm = pose.get("pvm")
+        if pvm is None:
+            pvm = pose["pvm"] = jnp.asarray(pvm_h)
 
         def sweep_rows(band):
             return sweep_mod.sweep(

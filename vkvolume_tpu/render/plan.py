@@ -22,6 +22,8 @@ No jax arrays are touched: numpy only, microseconds per frame.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .sweep import _SLICE_AXES
@@ -77,8 +79,12 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     # the per-tile span bounds (this function runs per pose on the orbit's
     # host-plan path; the previous separate coarse grid doubled the
     # unprojection/validity work).
-    step_y = 8 if height >= 512 else 2
-    step_x = 8 if width >= 512 else 2
+    # Step-16 lattices at HD sizes: analyze_view runs per fresh pose on the
+    # orbit's host-plan path; the coarser lattice quarters the numpy work
+    # (measured 13-16 → ~4 ms/pose at 1920×1080) while every consumer pads
+    # by the LOCAL slope × step, so the bounds stay conservative.
+    step_y = 16 if height >= 1024 else (8 if height >= 512 else 2)
+    step_x = 16 if width >= 1024 else (8 if width >= 512 else 2)
     ys = np.arange(0.0, height + step_y - 1.0, float(step_y)) - 0.5
     xs = np.arange(0.0, width + step_x - 1.0, float(step_x)) - 0.5
     py, px = np.meshgrid(ys, xs, indexing="ij")
@@ -191,8 +197,12 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     du_f, dv_f = fin(du), fin(dv)
     if du_f.size == 0 or dv_f.size == 0:
         return None
-    du_q = float(np.median(du_f))
-    dv_q = float(np.median(dv_f))
+    # Grid-sizing footprint quantile: 0.5 = median pixel footprint. Lower
+    # quantiles build a denser w-grid (more sweep work, fewer warp
+    # interpolation errors at content silhouettes); see docs/PERF.md.
+    q = float(os.environ.get("VKV_FOOTPRINT_Q", "0.5"))
+    du_q = float(np.quantile(du_f, q))
+    dv_q = float(np.quantile(dv_f, q))
 
     # Per-tile span bounds on the same lattice: the slope of wu/wv varies
     # strongly across a wide-FOV image, so a global-max-slope bound would

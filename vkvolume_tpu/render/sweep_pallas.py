@@ -1076,6 +1076,59 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     return None
 
 
+# ---------------------------------------------------------------------------
+# Packed per-pose scalars: every per-pose float the frame jit consumes
+# (uniform leaves + proj_view_model + grid params + homography coeffs) in
+# ONE flat f32 array, so a fresh camera pose costs ONE host→device transfer
+# instead of ~14 (each small transfer is a ~0.9 ms dispatch on the tunneled
+# transport — the dominant per-pose cost after the host plan).
+# ---------------------------------------------------------------------------
+
+_UNIFORM_FIELDS = (
+    ("view", 16), ("proj", 16), ("view_proj_inv", 16), ("model", 16),
+    ("model_inv", 16), ("global_to_tex", 16), ("plane", 4),
+    ("plane_tex", 4), ("cam_pos_tex", 3), ("block_size", 3),
+    ("front_index", 1),
+)
+_N_UNIFORM = sum(n for _, n in _UNIFORM_FIELDS)            # 111
+N_PACKED = _N_UNIFORM + 16 + 4 + 9                          # + pvm, gp, hcoef
+
+
+def pack_frame_scalars(uniforms: FrameUniforms, pvm, gp,
+                       hcoef=None) -> np.ndarray:
+    """Host-side: flatten (uniforms, proj_view_model, grid_params, hcoef)
+    into one (N_PACKED,) float32 array (hcoef None → zeros; the RECT_A
+    static gates its use)."""
+    parts = [np.asarray(getattr(uniforms, name), np.float32).ravel()
+             for name, _ in _UNIFORM_FIELDS]
+    parts.append(np.asarray(pvm, np.float32).ravel())
+    parts.append(np.asarray(gp, np.float32).ravel())
+    parts.append(np.zeros(9, np.float32) if hcoef is None
+                 else np.asarray(hcoef, np.float32).ravel())
+    out = np.concatenate(parts)
+    assert out.shape == (N_PACKED,), out.shape
+    return out
+
+
+def unpack_frame_scalars(arr):
+    """Inverse of pack_frame_scalars; works on traced jnp arrays (inside
+    jit) and host numpy alike. Returns (uniforms, pvm, gp, hcoef)."""
+    vals = {}
+    off = 0
+    for name, n in _UNIFORM_FIELDS:
+        v = arr[off:off + n]
+        off += n
+        vals[name] = v.reshape(4, 4) if n == 16 else v
+    vals["front_index"] = vals["front_index"][0].astype(jnp.int32)
+    u = FrameUniforms(**vals)
+    pvm = arr[off:off + 16].reshape(4, 4)
+    off += 16
+    gp = arr[off:off + 4]
+    off += 4
+    hcoef = arr[off:off + 9]
+    return u, pvm, gp, hcoef
+
+
 def _frame_body(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup,
     uniforms: FrameUniforms, proj_view_model, grid_params, grad_t=None,
@@ -1103,6 +1156,12 @@ def _frame_body(
     from .frustum import rays_from_dirs
 
     f = jnp.float32
+    if not isinstance(uniforms, FrameUniforms):
+        # Packed per-pose scalars (see pack_frame_scalars): the caller
+        # passed one flat array; proj_view_model/grid_params/hcoef args are
+        # None placeholders.
+        uniforms, proj_view_model, grid_params, hcoef = \
+            unpack_frame_scalars(uniforms)
     if rays is None:
         from .ray_setup import make_rays
 
