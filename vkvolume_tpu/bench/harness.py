@@ -124,20 +124,26 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
 
     force = {}
     for key, entries in groups.items():
-        plans = [pl for pl, _, _ in entries]
-        # Trim outlier poses (the near-diagonal band inflates Hi·Wi by an
-        # order of magnitude; folding them into the main envelope would both
-        # balloon every pose's grid AND blow the warp's grid-unit spans).
-        # The outliers get a SECOND, larger envelope of their own — the
-        # group then needs at most two compiled specialisations instead of
-        # one per outlier pose (each of which is a fresh multi-minute
-        # remote Mosaic compile the service may refuse mid-run).
-        areas = sorted(pl["Hi"] * pl["Wi"] for pl in plans)
-        med = areas[len(areas) // 2]
-        kept = [pl for pl in plans if pl["Hi"] * pl["Wi"] <= 1.35 * med]
-        out = [pl for pl in plans if pl["Hi"] * pl["Wi"] > 1.35 * med]
+        plans = sorted((pl for pl, _, _ in entries),
+                       key=lambda pl: pl["Hi"] * pl["Wi"])
+        # Band the group's poses by grid area (≤1.35× spread per band): a
+        # single max-envelope would make EVERY pose sweep the largest
+        # pose's grid (measured 2-3× the per-pose frame cost), while
+        # per-pose statics would compile one multi-minute remote Mosaic
+        # specialisation per pose (which the compile service intermittently
+        # refuses mid-run). A handful of banded envelopes keeps each pose
+        # within ~35 % of its own grid size at ~3-5 compiles per group; the
+        # engine tries the tiers smallest-first and uses the first that
+        # passes the per-pose feasibility+quality re-check.
+        bands = []
+        for pl in plans:
+            a = pl["Hi"] * pl["Wi"]
+            if bands and a <= 1.35 * bands[-1][0]:
+                bands[-1][1].append(pl)
+            else:
+                bands.append((a, [pl]))
         tiers = []
-        for subset in (kept, out):
+        for _, subset in bands:
             env = envelope(key, subset, entries)
             if env is not None and env not in tiers:
                 tiers.append(env)
@@ -267,16 +273,24 @@ def run_config(
     out.color.block_until_ready()
     float(out.color.ravel()[0])
     if orbit_deg:
-        # Warm every timed pose's statics bucket (cheap now: frozen-statics
-        # poses share one compiled specialisation per group; only the
-        # outlier band compiles its own). The 0.43-step nudge keeps timed
-        # poses pose-cache misses.
+        # Warm the EXACT timed poses (their spec tier can differ from any
+        # nudged neighbour's at a band boundary, and a first-attempt remote
+        # compile — or a transient compile-service refusal and its retries —
+        # must happen here, not inside a timed rep), then purge the
+        # per-pose cache entries so the timed loop still pays the full
+        # fresh-pose cost (host plan + packed-scalar transfer).
         for i in range(frames * 5):
-            out = eng.render(cam_for(i + 0.43), width, height)
+            out = eng.render(cam_for(i), width, height)
             if i % 10 == 9:
                 out.color.block_until_ready()
         out.color.block_until_ready()
         float(out.color.ravel()[0])
+        for v in eng.volumes:
+            c = getattr(v, "_sweep_cache", None)
+            if c:
+                for k in [k for k in c
+                          if isinstance(k, tuple) and k[0] == "pose"]:
+                    del c[k]
     reps = []
     idx = 0
     for _rep in range(5):

@@ -952,6 +952,12 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         Hi, Wi = force["Hi"], force["Wi"]
         if Wi < Wi_k - 1e-6:
             return None
+        # Quality floor: the unforced search tolerates at most ~2.2×
+        # undersampling of the median pixel footprint — a pose must reject
+        # an envelope tier that would undersample it harder (the banded
+        # tiers of freeze_orbit_statics are tried smallest-first).
+        if Wi < Wi_q / 2.2 - 1e-6 or Hi < Hi_q / 2.2 - 1e-6:
+            return None
         dwu = (wu_hi - wu_lo) / Wi
         dwv = (wv_hi - wv_lo) / Hi
         tile_h = force["tile_h"]
