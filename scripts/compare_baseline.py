@@ -7,7 +7,8 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OURS = os.path.join(REPO, "docs", "benchmarks_r2")
+OURS = os.environ.get(
+    "OURS_DIR", os.path.join(REPO, "docs", "benchmarks_r3"))
 REF = "/root/reference/scripts"
 
 

@@ -54,6 +54,7 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
     from ..render import plan as plan_mod
     from ..render import sweep_pallas as sp
     from ..render.ray_setup import make_uniforms
+    from ..render.warp_pallas import RECT_W as _WP_RECT_W
 
     def vol_t_shape(p):
         d, h, w = volume.density.shape
@@ -74,10 +75,11 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             continue
         groups.setdefault((p, plan["sgn_p"]), []).append((plan, u, view))
 
-    def envelope(key, subset, entries):
-        """One force dict covering every plan in ``subset`` (max-envelope of
-        the jit statics + warp rects measured under the frozen dims)."""
-        kept = [pl for pl in subset if pl["R_brick"] is not None]
+    def envelope(key, entries):
+        """One force dict covering every (plan, uniforms, view) entry
+        (max-envelope of the jit statics + warp rects measured under the
+        frozen dims)."""
+        kept = [pl for pl, _, _ in entries if pl["R_brick"] is not None]
         if not kept:
             return None
         tile_h = min(pl["tile_h"] for pl in kept)
@@ -116,16 +118,45 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                 rb = min(max(n[1] for n in needs), cap_b)
             else:
                 wv = None
+        # Single-pass warp rect height: the per-pose fallback when this
+        # pose's two-pass re-check fails under the frozen rects (the
+        # near-diagonal azimuths) — without it those poses fell to the
+        # XLA-gather warp at ~100 ms/frame. Sized as the max need among the
+        # band's poses that fit the kernel's limits at all (poses that
+        # don't are re-rejected per pose by plan_from_stats and keep the
+        # XLA warp).
+        rw = None
+        if Wi >= _WP_RECT_W:
+            dims = dict(Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
+                        span_blks=span_blks, R_sweep=R_sweep, R_warp=None,
+                        RECT_A=None, RECT_B=None, warp_variant=None)
+            needs = []
+            for pl, u, view in entries:
+                plan_f = sp.plan_from_stats(view, u, key[0],
+                                            vol_t_shape(key[0]),
+                                            height, width, force=dims)
+                if plan_f is None:
+                    continue
+                if view["span_wu"] / plan_f["dwu"] > _WP_RECT_W - 132:
+                    continue
+                need = view["span_wv"] / plan_f["dwv"]
+                if need <= 192 - 10:
+                    needs.append(need)
+            if needs:
+                need = max(needs)
+                for cand in (16, 24, 32, 48, 64, 96, 128, 192):
+                    if need <= cand - 10:
+                        rw = cand
+                        break
         return dict(
             Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
             span_blks=span_blks, R_sweep=R_sweep,
-            R_warp=None, RECT_A=ra, RECT_B=rb, warp_variant=wv,
+            R_warp=rw, RECT_A=ra, RECT_B=rb, warp_variant=wv,
         )
 
     force = {}
     for key, entries in groups.items():
-        plans = sorted((pl for pl, _, _ in entries),
-                       key=lambda pl: pl["Hi"] * pl["Wi"])
+        entries = sorted(entries, key=lambda e: e[0]["Hi"] * e[0]["Wi"])
         # Band the group's poses by grid area (≤1.35× spread per band): a
         # single max-envelope would make EVERY pose sweep the largest
         # pose's grid (measured 2-3× the per-pose frame cost), while
@@ -136,15 +167,15 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
         # engine tries the tiers smallest-first and uses the first that
         # passes the per-pose feasibility+quality re-check.
         bands = []
-        for pl in plans:
-            a = pl["Hi"] * pl["Wi"]
+        for e in entries:
+            a = e[0]["Hi"] * e[0]["Wi"]
             if bands and a <= 1.35 * bands[-1][0]:
-                bands[-1][1].append(pl)
+                bands[-1][1].append(e)
             else:
-                bands.append((a, [pl]))
+                bands.append((a, [e]))
         tiers = []
         for _, subset in bands:
-            env = envelope(key, subset, entries)
+            env = envelope(key, subset)
             if env is not None and env not in tiers:
                 tiers.append(env)
         if tiers:

@@ -596,16 +596,26 @@ class Engine:
                     if isinstance(forces, dict):
                         forces = [forces]
                     plan = None
-                    # Envelope tiers (bench.freeze_orbit_statics): the main
-                    # envelope first, then the outlier-band envelope; only a
-                    # pose rejecting every tier compiles its own
-                    # specialisation.
+                    # Envelope tiers (bench.freeze_orbit_statics), tried
+                    # smallest grid first. Prefer the first tier that gives
+                    # this pose a Pallas warp: an earlier tier whose warp
+                    # re-check failed would route the frame through the
+                    # XLA-gather warp (~100 ms) even when a larger tier's
+                    # rects fit — keep such a plan only as the last resort.
+                    plan_xla = None
                     for force in forces:
-                        plan = sp.plan_from_stats(view, uniforms, p,
+                        cand = sp.plan_from_stats(view, uniforms, p,
                                                   vol_t.shape, height, width,
                                                   force=force)
-                        if plan is not None:
+                        if cand is None:
+                            continue
+                        if not cand.get("warp_xla"):
+                            plan = cand
                             break
+                        if plan_xla is None:
+                            plan_xla = cand
+                    if plan is None:
+                        plan = plan_xla
                     if plan is None:
                         plan = sp.plan_from_stats(view, uniforms, p,
                                                   vol_t.shape, height, width)

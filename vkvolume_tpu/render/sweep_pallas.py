@@ -973,8 +973,18 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     or sb_need > span_blks
                     or 128.0 * dwu * Su * t_max + drift_bu > RECT_W - 132):
                 return None
+        # Forced single-pass warp rect: re-verify THIS pose's per-tile
+        # pixel→grid spans against the frozen rect (an undersized rect
+        # would silently drop source rows).
+        R_warp_f = force.get("R_warp")
+        if R_warp_f is not None:
+            if (not np.isfinite(st.get("span_wu", np.nan))
+                    or st["span_wu"] / dwu > _wp.RECT_W - 132
+                    or Wi < _wp.RECT_W
+                    or st["span_wv"] / dwv > R_warp_f - 10):
+                R_warp_f = None
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep,
-                    R_warp=force.get("R_warp"),
+                    R_warp=R_warp_f,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
                     tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
                     RECT_A=None, RECT_B=None, hcoef=None)
@@ -989,6 +999,9 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                 plan.update(tp)
                 plan["RECT_A"] = force["RECT_A"]
                 plan["RECT_B"] = force["RECT_B"]
+                # The two-pass warp renders the frame; drop the unused
+                # single-pass static so it doesn't split the jit cache.
+                plan["R_warp"] = None
         if plan["RECT_A"] is None and plan["R_warp"] is None:
             plan["warp_xla"] = True
         return plan
