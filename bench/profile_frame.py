@@ -98,7 +98,8 @@ def main():
          @ vol.model_matrix).astype(np.float32))
     n_slabs = vol_t.shape[0]
 
-    gp = jnp.asarray([plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]],
+    gp = jnp.asarray([plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+                      plan["wv0"], plan["dwv"], plan.get("cv", 0.0)],
                      jnp.float32)
     kw = dict(p_axis=p, Hi=plan["Hi"], Wi=plan["Wi"],
               R_sweep=plan["R_sweep"], R_warp=plan["R_warp"], ert=True,
@@ -114,8 +115,10 @@ def main():
     v_ax, u_ax = sweep_mod._SLICE_AXES[p]
     gyi = jax.lax.broadcasted_iota(f, (Hi, Wi), 0)
     gxi = jax.lax.broadcasted_iota(f, (Hi, Wi), 1)
-    wu_g = plan["wu0"] + (gxi + 0.5) * plan["dwu"]
-    wv_g = plan["wv0"] + (gyi + 0.5) * plan["dwv"]
+    wu_g = sp._mob_fwd(plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+                       gxi + 0.5)
+    wv_g = sp._mob_fwd(plan["wv0"], plan["dwv"], plan.get("cv", 0.0),
+                       gyi + 0.5)
     dir_xyz = [None, None, None]
     dir_xyz[p] = jnp.full((Hi, Wi), f(plan["sgn_p"]))
     dir_xyz[u_ax] = wu_g * f(plan["sgn_p"])
@@ -150,8 +153,10 @@ def main():
     d_p = d_[..., p]
     okp = jnp.abs(d_p) > 1e-6
     safe = jnp.where(okp, d_p, 1.0)
-    gx = (d_[..., u_ax] / safe - plan["wu0"]) / plan["dwu"] - 0.5
-    gy = (d_[..., v_ax] / safe - plan["wv0"]) / plan["dwv"] - 0.5
+    gx = sp._mob_inv(plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+                     d_[..., u_ax] / safe) - 0.5
+    gy = sp._mob_inv(plan["wv0"], plan["dwv"], plan.get("cv", 0.0),
+                     d_[..., v_ax] / safe) - 0.5
     pix_ok = rays.valid & okp
     gx = jnp.where(pix_ok, gx, -10.0)
     gy = jnp.where(pix_ok, gy, -10.0)

@@ -66,13 +66,13 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             cam, volume.node_transform, volume.image_transform,
             eng.options.clip_distance,
             np.asarray(volume.effective_block_size_xyz, np.float32))
-        view = plan_mod.analyze_view(u, height, width)
-        if view is None or view["mixed"]:
+        # SAME axis selection as the engine (cost-based over all
+        # single-signed candidates) — a group-key mismatch would leave the
+        # pose without a tier and cost a mid-orbit Mosaic compile.
+        view, plan = sp.select_view_plan(u, height, width, vol_t_shape)
+        if view is None or view["mixed"] or plan is None:
             continue
         p = view["p_axis"]
-        plan = sp.plan_from_stats(view, u, p, vol_t_shape(p), height, width)
-        if plan is None:
-            continue
         groups.setdefault((p, plan["sgn_p"]), []).append((plan, u, view))
 
     def envelope(key, entries):
@@ -80,11 +80,17 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
         (max-envelope of the jit statics + warp rects measured under the
         frozen dims)."""
         kept = [pl for pl, _, _ in entries if pl["R_brick"] is not None]
-        if not kept:
-            return None
-        tile_h = min(pl["tile_h"] for pl in kept)
-        span_blks = max(pl["span_blks"] for pl in kept)
-        R_brick = max(max(pl["R_brick"] for pl in kept), 8 * span_blks)
+        if kept:
+            tile_h = min(pl["tile_h"] for pl in kept)
+            span_blks = max(pl["span_blks"] for pl in kept)
+            R_brick = max(max(pl["R_brick"] for pl in kept), 8 * span_blks)
+        else:
+            # No brick-capable pose in this band (deep handover poses):
+            # envelope the per-slab kernel statics instead of dropping the
+            # band (a dropped band = one fresh mid-orbit Mosaic compile
+            # per pose — the round-2 orbit failure mode).
+            kept = [pl for pl, _, _ in entries]
+            tile_h, R_brick, span_blks = 8, None, 2
         Hi = max(pl["Hi"] for pl in kept)
         Wi = max(pl["Wi"] for pl in kept)
         R_sweep = max(pl["R_sweep"] for pl in kept)
@@ -137,9 +143,14 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                                             height, width, force=dims)
                 if plan_f is None:
                     continue
-                if view["span_wu"] / plan_f["dwu"] > _WP_RECT_W - 132:
+                gus = plan_mod.grid_unit_spans(view, plan_f)
+                if gus is not None:
+                    span_gx, need, _ = gus
+                else:
+                    span_gx = view["span_wu"] / plan_f["dwu"]
+                    need = view["span_wv"] / plan_f["dwv"]
+                if span_gx > _WP_RECT_W - 132:
                     continue
-                need = view["span_wv"] / plan_f["dwv"]
                 if need <= 192 - 10:
                     needs.append(need)
             if needs:

@@ -508,7 +508,17 @@ class Engine:
                 self.options.clip_distance,
                 np.asarray(volume.effective_block_size_xyz, np.float32),
             )
-            view = plan_mod.analyze_view(uniforms, height, width)
+            # Cost-based principal-axis selection (sweep_pallas.
+            # select_view_plan): plans every single-signed axis and keeps
+            # the cheapest — near the axis handover the largest-|mean|
+            # axis costs 5-30× the runner-up.
+            from ..render import sweep_pallas as _sp
+
+            dsh = volume.density.shape
+            view, plan_sel = _sp.select_view_plan(
+                uniforms, height, width,
+                lambda q: {2: dsh, 1: (dsh[1], dsh[0], dsh[2]),
+                           0: (dsh[2], dsh[0], dsh[1])}[q])
             # Ray setup is built lazily: the Pallas frame builds it inside
             # its own jit (a fresh pose costs only the host plan), and only
             # the fallback renderers / depth-attachment frames need it as a
@@ -517,7 +527,8 @@ class Engine:
             if use_depth and view is not None and not view["mixed"]:
                 rays = make_rays(uniforms, height, width,
                                  depth_image=depth_image, use_depth=use_depth)
-            pose = dict(uniforms=uniforms, view=view, rays=rays)
+            pose = dict(uniforms=uniforms, view=view, rays=rays,
+                        plan_unforced=plan_sel)
             if not use_depth:
                 # Bound the pose cache (an orbiting camera would grow it
                 # indefinitely; dropping it only costs host-side re-analysis).
@@ -617,8 +628,7 @@ class Engine:
                     if plan is None:
                         plan = plan_xla
                     if plan is None:
-                        plan = sp.plan_from_stats(view, uniforms, p,
-                                                  vol_t.shape, height, width)
+                        plan = pose.get("plan_unforced")
                     pose["plan"] = plan
                 if plan is not None:
                     import jax.numpy as _jnp
@@ -663,8 +673,10 @@ class Engine:
                         packed = pose["packed_dev"] = _jnp.asarray(
                             sp.pack_frame_scalars(
                                 uniforms, pvm_h,
-                                [plan["wu0"], plan["dwu"], plan["wv0"],
-                                 plan["dwv"]], plan.get("hcoef")))
+                                [plan["wu0"], plan["dwu"],
+                                 plan.get("cu", 0.0),
+                                 plan["wv0"], plan["dwv"],
+                                 plan.get("cv", 0.0)], plan.get("hcoef")))
                     try:
                         out = sp._frame_jit(
                             vol_t, occ_arr, tf, rays, packed, None, None,

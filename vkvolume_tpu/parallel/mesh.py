@@ -237,7 +237,8 @@ def render_frame_sharded(
     Np = vol_t.shape[0]
     n_slabs = int(max(2, round(Np * oversample)))
     grid_params = jnp.asarray(
-        [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]], jnp.float32
+        [plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+         plan["wv0"], plan["dwv"], plan.get("cv", 0.0)], jnp.float32
     )
     hcoef = (jnp.asarray(plan["hcoef"], jnp.float32)
              if plan.get("hcoef") is not None else None)

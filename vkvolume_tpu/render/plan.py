@@ -66,7 +66,8 @@ def _valid_mask(u, d: np.ndarray, o: np.ndarray) -> np.ndarray:
     return (t_entry < t_far) & (t_far > 0.0)
 
 
-def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
+def analyze_view(u, height: int, width: int, grid: int = 24,
+                 restrict: tuple[int, float] | None = None) -> dict | None:
     """All host-side view statistics for one camera pose:
 
     Returns a dict with the `_plan_stats_jit` keys (any_sel, wu_lo/hi,
@@ -74,6 +75,13 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     ``mixed`` (principal-axis direction sign disagreement among valid rays
     → caller must fall back to the per-ray marcher). None when no ray hits
     the volume.
+
+    ``restrict = (axis, sign)`` analyses only the rays with
+    sign·d[axis] > 0 and forces that axis as the principal axis — the
+    SIGN-SPLIT sweep for handover-band poses where the dominant axis is
+    sign-mixed over the frame but each half is tame: the engine sweeps
+    each half on its own grid and selects per pixel (each pixel ray has
+    exactly one direction sign). None when the half is empty.
     """
     # ONE pixel lattice serves extrema, medians, mixed-sign detection AND
     # the per-tile span bounds (this function runs per pose on the orbit's
@@ -90,6 +98,8 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     py, px = np.meshgrid(ys, xs, indexing="ij")
     d, o = _pixel_dirs(u, height, width, py, px)
     valid = _valid_mask(u, d, o)
+    if restrict is not None:
+        valid = valid & (d[..., restrict[0]] * restrict[1] > 0.0)
     if not valid.any():
         return None
 
@@ -106,7 +116,10 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     p_axis = sel = None
     mixed = True
     sgn = 1.0
-    for cand in np.argsort(-np.abs(mean)):
+    unmixed: list[tuple[int, float]] = []
+    cand_axes = (np.argsort(-np.abs(mean)) if restrict is None
+                 else np.asarray([restrict[0]]))
+    for cand in cand_axes:
         d_p = d[..., cand]
         ok = np.abs(d_p) > 1e-9 * dnorm
         sel_c = valid & ok
@@ -114,17 +127,24 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
             continue
         dpv = d_p[sel_c]
         mixed_c = bool((dpv > 0).any() and (dpv < 0).any())
+        sgn_c = 1.0 if np.median(dpv) >= 0 else -1.0
+        if not mixed_c:
+            # Every single-signed axis is a VIABLE sweep axis; the engine
+            # scores a plan per candidate and keeps the cheapest
+            # (sweep_pallas.select_view_plan) — near the principal-axis
+            # handover the largest-|mean| axis can cost 5-30× the runner-up
+            # (exploding wu = d_u/d_p as d_p → 0 at the frustum edge).
+            unmixed.append((int(cand), sgn_c))
         if p_axis is None:
             p_axis = int(cand)
             sel = sel_c
             mixed = mixed_c
-            sgn = 1.0 if np.median(dpv) >= 0 else -1.0
-        if not mixed_c:
+            sgn = sgn_c
+        elif mixed and not mixed_c:
             p_axis = int(cand)
             sel = sel_c
             mixed = False
-            sgn = 1.0 if np.median(dpv) >= 0 else -1.0
-            break
+            sgn = sgn_c
     if p_axis is None:
         return None
     v_ax, u_ax = _SLICE_AXES[p_axis]
@@ -204,6 +224,47 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
     du_q = float(np.quantile(du_f, q))
     dv_q = float(np.quantile(dv_f, q))
 
+    # End footprints for the projective-grid fit (sweep_pallas.
+    # plan_from_stats): for a projective view the pixel footprint as a
+    # function of w is (a + b·w)² — quadratic with a double root at the
+    # homography horizon — i.e. √footprint is AFFINE in w. Fit that line
+    # robustly (median of √dw per w-bin, least squares over bin centers;
+    # binning in w de-weights the dense low-footprint end, where most
+    # PIXELS but few w-values live, so the projective tail is captured)
+    # and evaluate it at the two range ends. A fit that crosses zero
+    # inside the range (horizon inside the visible range — numerically
+    # noisy) falls back to the uniform grid (None, None).
+    def end_fit(dw, w_at, lo, hi):
+        rng_w = hi - lo
+        if not np.isfinite(rng_w) or rng_w <= 0:
+            return None, None
+        wa = w_at[: dw.shape[0], : dw.shape[1]]
+        sel = np.isfinite(dw) & (dw > 0) & np.isfinite(wa)
+        if sel.sum() < 32:
+            return None, None
+        wv_s = wa[sel]
+        rt = np.sqrt(dw[sel])
+        nb = 8
+        idx = np.clip(((wv_s - lo) / rng_w * nb).astype(np.int64), 0, nb - 1)
+        cs, ms = [], []
+        for b in range(nb):
+            in_b = idx == b
+            if in_b.sum() >= 4:
+                cs.append(lo + (b + 0.5) * rng_w / nb)
+                ms.append(float(np.quantile(rt[in_b], q)))
+        if len(cs) < 2:
+            return None, None
+        A = np.stack([np.ones(len(cs)), np.asarray(cs)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, np.asarray(ms), rcond=None)
+        r_lo = float(coef[0] + coef[1] * lo)
+        r_hi = float(coef[0] + coef[1] * hi)
+        if r_lo <= 0.0 or r_hi <= 0.0:
+            return None, None
+        return r_lo * r_lo, r_hi * r_hi
+
+    du_lo_q, du_hi_q = end_fit(du, wu, wu_lo, wu_hi)
+    dv_lo_q, dv_hi_q = end_fit(dv, wv, wv_lo, wv_hi)
+
     # Per-tile span bounds on the same lattice: the slope of wu/wv varies
     # strongly across a wide-FOV image, so a global-max-slope bound would
     # be ~10× pessimistic; instead evaluate on every tile's actual corners
@@ -223,11 +284,54 @@ def analyze_view(u, height: int, width: int, grid: int = 24) -> dict | None:
 
     return dict(
         any_sel=1.0, mixed=False, p_axis=p_axis, sgn=sgn,
+        unmixed_axes=unmixed,
         wu_lo=float(wu_lo), wu_hi=float(wu_hi),
         wv_lo=float(wv_lo), wv_hi=float(wv_hi),
         du_q=du_q, dv_q=dv_q, span_wu=float(span_wu), span_wv=float(span_wv),
         span_wv_t=float(span_wv_t),
+        du_lo_q=du_lo_q, du_hi_q=du_hi_q,
+        dv_lo_q=dv_lo_q, dv_hi_q=dv_hi_q,
+        # Raw analysis lattices (nan = invalid): plan_from_stats measures
+        # per-tile pixel→grid spans EXACTLY under the (projective) grid map
+        # instead of dividing w-spans by one footprint — see
+        # grid_unit_spans. Underscored: absent on the device-stats path.
+        _lat_wu=wu, _lat_wv=wv, _step_y=float(step_y), _step_x=float(step_x),
     )
+
+
+def mobius_inverse_np(w, w0, dw, c):
+    """Grid coordinate ξ of w-value ``w`` under the Möbius grid
+    w(ξ) = w0 + dw·ξ/(1 − c·ξ)  ⇔  ξ(w) = (w−w0)/(dw + c·(w−w0)).
+    c = 0 reduces to the uniform grid. The denominator is affine in w and
+    positive over the grid's whole w-range by construction (its zero is the
+    homography horizon, outside the padded range)."""
+    return (w - w0) / (dw + c * (w - w0))
+
+
+def grid_unit_spans(view: dict, plan: dict):
+    """Per-tile pixel→grid spans (gx over 8×128 pixel tiles, gy over 8×128
+    and transposed 128×8 tiles) measured on the analysis lattice under the
+    plan's grid map. On a projective (Möbius) grid the old w-span/footprint
+    division over-estimates by up to f_max/f_min; measuring ξ directly keeps
+    warp-rect feasibility tight exactly where the projective grid wins
+    (near-diagonal views). Same 1.2 curvature margin as analyze_view's
+    w-spans. None when the lattices are unavailable (device-stats path)."""
+    if "_lat_wu" not in view:
+        return None
+    wu, wv = view["_lat_wu"], view["_lat_wv"]
+    sy, sx = view["_step_y"], view["_step_x"]
+    cu = plan.get("cu", 0.0) or 0.0
+    cv = plan.get("cv", 0.0) or 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gxl = mobius_inverse_np(wu, plan["wu0"], plan["dwu"], cu)
+        gyl = mobius_inverse_np(wv, plan["wv0"], plan["dwv"], cv)
+    th = max(1, int(round(8 / sy)))
+    tw = max(1, int(round(128 / sx)))
+    span_gx = 1.2 * tile_span_from_lattice(gxl, th, tw)
+    span_gy = 1.2 * tile_span_from_lattice(gyl, th, tw)
+    span_gy_t = 1.2 * tile_span_from_lattice(
+        gyl, max(1, int(round(128 / sy))), max(1, int(round(8 / sx))))
+    return span_gx, span_gy, span_gy_t
 
 
 def tile_span_from_lattice(a: np.ndarray, th: int, tw: int) -> float:
@@ -307,13 +411,16 @@ def pass_a_positions_np(hc: np.ndarray, plan: dict, yg: np.ndarray,
     tests): XA[yg, j] = gx(Î(yg, j), j) where Î solves gy(Î, j) = yg.
     Returns (xa, ihat)."""
     au, bu, cu, av, bv, cv, ap, bp, cp = hc
-    wv_t = plan["wv0"] + (yg + 0.5) * plan["dwv"]
-    den = av - wv_t * ap
-    num = wv_t * (bp * j + cp) - (bv * j + cv)
+    cug = plan.get("cu", 0.0) or 0.0
+    cvg = plan.get("cv", 0.0) or 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
+        y = yg + 0.5
+        wv_t = plan["wv0"] + plan["dwv"] * y / (1.0 - cvg * y)
+        den = av - wv_t * ap
+        num = wv_t * (bp * j + cp) - (bv * j + cv)
         ihat = num / den
         wu = (au * ihat + bu * j + cu) / (ap * ihat + bp * j + cp)
-        xa = (wu - plan["wu0"]) / plan["dwu"] - 0.5
+        xa = mobius_inverse_np(wu, plan["wu0"], plan["dwu"], cug) - 0.5
     return xa, ihat
 
 
@@ -324,13 +431,16 @@ def pass_b1_positions_np(hc: np.ndarray, plan: dict, xg: np.ndarray,
     diagonal azimuths): YB[xg, i] = gy(i, Ĵ(xg, i)) where Ĵ solves
     gx(i, Ĵ) = wu(xg). Returns (yb, jhat)."""
     au, bu, cu, av, bv, cv, ap, bp, cp = hc
-    wu_c = plan["wu0"] + (xg + 0.5) * plan["dwu"]
-    den = bu - wu_c * bp
+    cug = plan.get("cu", 0.0) or 0.0
+    cvg = plan.get("cv", 0.0) or 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
+        x = xg + 0.5
+        wu_c = plan["wu0"] + plan["dwu"] * x / (1.0 - cug * x)
+        den = bu - wu_c * bp
         jhat = (wu_c * cp - cu - (au - wu_c * ap) * i) / den
         wv = ((av * i + bv * jhat + cv)
               / (ap * i + bp * jhat + cp))
-        yb = (wv - plan["wv0"]) / plan["dwv"] - 0.5
+        yb = mobius_inverse_np(wv, plan["wv0"], plan["dwv"], cvg) - 0.5
     return yb, jhat
 
 
@@ -379,6 +489,17 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
     hc = homography_coeffs(u, p_axis, height, width)
     Hi, Wi = plan["Hi"], plan["Wi"]
 
+    # Second-pass spans in GRID units: measured exactly under the plan's
+    # (possibly projective) grid map when the analysis lattices are
+    # available; the w-span/footprint division is the device-stats
+    # fallback (exact for the uniform grid it implies).
+    gus = grid_unit_spans(view, plan)
+    if gus is not None:
+        span_gx_g, _span_gy_g, span_gy_t_g = gus
+    else:
+        span_gx_g = view["span_wu"] / plan["dwu"]
+        span_gy_t_g = view.get("span_wv_t", np.nan) / plan["dwv"]
+
     cands = []
 
     if only_variant in (None, "A"):
@@ -390,7 +511,7 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
             xa = np.where(ok, xa, np.nan)
             span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
             ra = _pick_rect(span_a, Wi)
-            rb = _pick_rect(view["span_wv_t"] / plan["dwv"], Hi)
+            rb = _pick_rect(span_gy_t_g, Hi)
             if ra is not None and rb is not None:
                 cands.append(("A", ra, rb))
 
@@ -403,7 +524,7 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
             yb = np.where(okb, yb, np.nan)
             span_1 = 1.15 * tile_span_from_lattice(yb, 1, 16)
             r1 = _pick_rect(span_1, Hi)
-            r2 = _pick_rect(view["span_wu"] / plan["dwu"], Wi)
+            r2 = _pick_rect(span_gx_g, Wi)
             if r1 is not None and r2 is not None:
                 cands.append(("B", r1, r2))
 

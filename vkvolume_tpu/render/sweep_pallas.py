@@ -35,6 +35,7 @@ zoomed view).
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -868,6 +869,60 @@ def stats_to_dict(stats_vec) -> dict:
     return dict(zip(_STAT_KEYS, vals.tolist()))
 
 
+def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
+                     shape_for, max_oversample: float = 2.5):
+    """Cost-based principal-axis selection: plan every single-signed
+    candidate axis (``analyze_view``'s ``unmixed_axes``) and keep the
+    cheapest. Near the axis handover (the orbit's diagonal band) the
+    largest-|mean| axis explodes (wu = d_u/d_p → ±∞ as d_p → 0 inside the
+    frustum: grids to ~35M cells, XLA-warp tiers) while the runner-up axis
+    plans a tame bricked grid — measured 5-30× cheaper.
+
+    ``shape_for(p)`` returns the p-transposed volume shape. Returns
+    (view, plan) — view is the analysis for the WINNING axis (callers use
+    its p_axis/sgn), plan may be None (no axis feasible). (None, None)
+    when no ray hits; (view, None) with view["mixed"] when no axis is
+    single-signed (caller falls back to the per-ray marcher)."""
+    from . import plan as plan_mod
+
+    view0 = plan_mod.analyze_view(uniforms, height, width)
+    if view0 is None or view0.get("mixed"):
+        return view0, None
+
+    def cost(pl):
+        # Grid cells × kernel factor (per-slab kernel measured ~4-5× the
+        # brick kernel per cell) + XLA-gather-warp penalty (~100 ms ≈ the
+        # brick sweep of a 16M-cell grid).
+        c = pl["Hi"] * pl["Wi"] * (1.0 if pl.get("R_brick") else 4.0)
+        if pl.get("warp_xla"):
+            c += 16e6
+        return c
+
+    best = None
+    for ax, sgn_ax in view0.get("unmixed_axes") or [(view0["p_axis"],
+                                                     view0["sgn"])]:
+        view = (view0 if ax == view0["p_axis"]
+                else plan_mod.analyze_view(uniforms, height, width,
+                                           restrict=(ax, sgn_ax)))
+        if view is None or view.get("mixed"):
+            continue
+        pl = plan_from_stats(view, uniforms, ax, shape_for(ax), height,
+                             width, max_oversample)
+        if pl is None:
+            continue
+        if best is None or cost(pl) < cost(best[1]):
+            best = (view, pl)
+        # A bricked Pallas-warp plan under ~8M cells is already near the
+        # frame-cost floor — skip the runner-up axes (each costs a full
+        # host analysis + plan, ~8 ms; candidates arrive |mean|-first, so
+        # the first is the aligned-band winner almost always).
+        if cost(best[1]) < 8e6:
+            break
+    if best is None:
+        return view0, None
+    return best
+
+
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
                max_oversample: float = 2.5):
@@ -891,6 +946,31 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
     st = stats_to_dict(_plan_stats_jit(rays, p_axis))
     return plan_from_stats(st, uniforms, p_axis, vol_shape_t, height, width,
                            max_oversample)
+
+
+def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):
+    """Per-axis Möbius grid parameters: N cells over w-range ``rng`` with
+    end footprints (f_lo, f_hi) scaled uniformly to fit exactly —
+    s = rng/(N·√(f_lo·f_hi)), w(ξ) = w_lo + s·f_lo·ξ/(1 − c·ξ).
+
+    For a projective view the pixel footprint as a function of w is
+    quadratic with a double root at the homography horizon — exactly the
+    footprint family of a Möbius grid — so matching the two end footprints
+    reproduces the pixel sampling density EVERYWHERE: near-diagonal orbit
+    poses whose uniform grid exploded (range/median-footprint up to ~31k
+    columns when the homography denominator varies strongly over the
+    image) get a grid ~the image size instead. f_lo = f_hi (or the
+    device-stats path, which lacks end footprints) degenerates to the
+    uniform grid (c = 0).
+
+    Returns (dw, c, dw_max): the ξ=0 footprint, the Möbius coefficient,
+    and the max footprint over the grid (the kernel-limit quantity; the
+    footprint dw/dξ = dw/(1−c·ξ)² is monotone in ξ, extremal at the
+    ends). c·N = 1 − f_lo/√(f_lo·f_hi) < 1 independently of scale, so the
+    in-kernel denominator 1 − c·ξ stays positive over the whole grid."""
+    gm = math.sqrt(f_lo * f_hi)
+    s = rng / (N * gm)
+    return s * f_lo, s * (gm - f_lo) / rng, s * max(f_lo, f_hi)
 
 
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
@@ -937,60 +1017,125 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     brick_wanted = (os.environ.get("VKV_NO_BRICK", "0") != "1"
                     and drift_bu <= 60.0)
     denom_u = min(120.0, 124.0 - drift_bu) if brick_wanted else 120.0
-    Wi_q = (wu_hi - wu_lo) / max(st["du_q"], 1e-9)
-    Hi_q = (wv_hi - wv_lo) / max(st["dv_q"], 1e-9)
-    Wi_k = (wu_hi - wu_lo) * Su * t_max * TILE_W / denom_u
-    Hi_k = (wv_hi - wv_lo) * Sv * t_max * 8.0 / 38.0
-    if not all(np.isfinite(v) for v in (Wi_q, Hi_q, Wi_k, Hi_k)):
+    # End-band footprints (analytic path only) drive the projective grid
+    # fit (_mobius_grid_params); missing → uniform grid (f_lo = f_hi).
+    q_u = max(st["du_q"], 1e-9)
+    q_v = max(st["dv_q"], 1e-9)
+    mobius = os.environ.get("VKV_MOBIUS", "1") != "0"
+    f_lo_u = (st.get("du_lo_q") or q_u) if mobius else q_u
+    f_hi_u = (st.get("du_hi_q") or q_u) if mobius else q_u
+    f_lo_v = (st.get("dv_lo_q") or q_v) if mobius else q_v
+    f_hi_v = (st.get("dv_hi_q") or q_v) if mobius else q_v
+    rng_u = wu_hi - wu_lo
+    rng_v = wv_hi - wv_lo
+    # Kernel footprint caps: the per-tile source limits bind on the grid's
+    # MAX per-cell w-footprint (the Möbius footprint is monotone along the
+    # grid, extremal at the range ends), so a grid whose END footprints
+    # respect the caps is kernel-feasible everywhere. Clamping the fitted
+    # end footprints at the caps (instead of scaling the whole grid finer)
+    # keeps the dense end pixel-matched while the projective tail runs at
+    # the kernel limit — the handover-band poses whose uniform grids
+    # exploded to ~30k columns get image-scale grids.
+    cap_fp_u = denom_u / (Su * t_max * TILE_W)
+    cap_fp_v = 38.0 / (8.0 * Sv * t_max)
+    # Quality size (s = 1: the grid matches the local pixel footprint
+    # everywhere; its cell count is range/geomean of the end footprints).
+    Wi_q = rng_u / math.sqrt(f_lo_u * f_hi_u)
+    Hi_q = rng_v / math.sqrt(f_lo_v * f_hi_v)
+    if not all(np.isfinite(v) and v > 0
+               for v in (Wi_q, Hi_q, cap_fp_u, cap_fp_v)):
         return None
 
+    def _capped_ends(rng, f_lo, f_hi, fs, cap):
+        """End footprints scaled by coarsening ``fs`` and clamped at the
+        kernel cap; None when even the uniform-at-cap grid (both ends =
+        cap) cannot exist (rng non-finite)."""
+        fl = min(f_lo * fs, cap)
+        fh = min(f_hi * fs, cap)
+        n = rng / math.sqrt(fl * fh)
+        return (fl, fh, n) if np.isfinite(n) else None
+
+    def _fit_forced(rng, f_lo, f_hi, N, cap):
+        """Möbius params for a FORCED cell count N: the pixel-matched
+        curve shape rescaled to N cells, ends re-clamped at the kernel
+        cap (trading tail match for feasibility — the clamped curve still
+        covers the range in N cells with the other end denser). None when
+        even both-ends-at-cap cannot cover the range in N cells."""
+        s = rng / (N * math.sqrt(f_lo * f_hi))
+        fl, fh = s * f_lo, s * f_hi
+        if max(fl, fh) > cap:
+            lo_end = (rng / N) ** 2 / cap
+            if lo_end > cap * (1.0 + 1e-9):
+                return None
+            fl, fh = (lo_end, cap) if fh >= fl else (cap, lo_end)
+        return _mobius_grid_params(rng, fl, fh, N)
+
+    from . import plan as plan_mod
     from . import warp_pallas as _wp
 
     sgn_p = 1.0 if st["sgn"] >= 0 else -1.0
 
     if force is not None:
         Hi, Wi = force["Hi"], force["Wi"]
-        if Wi < Wi_k - 1e-6:
-            return None
         # Quality floor: the unforced search tolerates at most ~2.2×
-        # undersampling of the median pixel footprint — a pose must reject
+        # undersampling of the local pixel footprint — a pose must reject
         # an envelope tier that would undersample it harder (the banded
         # tiers of freeze_orbit_statics are tried smallest-first).
         if Wi < Wi_q / 2.2 - 1e-6 or Hi < Hi_q / 2.2 - 1e-6:
             return None
-        dwu = (wu_hi - wu_lo) / Wi
-        dwv = (wv_hi - wv_lo) / Hi
+        R_sweep = force["R_sweep"]
         tile_h = force["tile_h"]
         R_brick = force["R_brick"]
         span_blks = force["span_blks"]
-        R_sweep = force["R_sweep"]
-        if 8.0 * dwv * Sv * t_max > R_sweep - 10:
-            return None
+        cap_v_f = (R_sweep - 10.0) / (8.0 * Sv * t_max)
         if R_brick is not None:
-            span = tile_h * dwv * Sv * t_max
+            # Clamp the v-curve's tail to the FORCED brick geometry so the
+            # brick feasibility below holds whenever the pose can fit it
+            # at all (the dense end absorbs the density).
+            cap_v_f = min(cap_v_f, max(
+                1e-12,
+                min(R_brick - 11.0 - drift_bv, 8.0 * span_blks - 10.0)
+                / (tile_h * Sv * t_max)))
+        mu_fit = _fit_forced(rng_u, f_lo_u, f_hi_u, Wi, cap_fp_u)
+        mv_fit = _fit_forced(rng_v, f_lo_v, f_hi_v, Hi,
+                             min(cap_fp_v, cap_v_f))
+        if mu_fit is None or mv_fit is None:
+            return None
+        dwu, cu_g, dwu_max = mu_fit
+        dwv, cv_g, dwv_max = mv_fit
+        if R_brick is not None:
+            span = tile_h * dwv_max * Sv * t_max
             sb_need = -(-int(span + 10.0) // 8)
             if (max(8 * span_blks, int(span + drift_bv + 11.0)) > R_brick
                     or sb_need > span_blks
-                    or 128.0 * dwu * Su * t_max + drift_bu > RECT_W - 132):
+                    or 128.0 * dwu_max * Su * t_max + drift_bu
+                    > RECT_W - 132):
                 return None
+        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=None,
+                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv,
+                    cu=cu_g, cv=cv_g, sgn_p=sgn_p,
+                    tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
+                    RECT_A=None, RECT_B=None, hcoef=None)
+        # Per-tile pixel→grid spans, exact under the (projective) grid map
+        # when the analysis lattices are available.
+        gus = plan_mod.grid_unit_spans(st, plan)
+        if gus is not None:
+            span_gx, span_gy, _ = gus
+        else:
+            span_gx = st.get("span_wu", np.nan) / dwu
+            span_gy = st.get("span_wv", np.nan) / dwv
         # Forced single-pass warp rect: re-verify THIS pose's per-tile
         # pixel→grid spans against the frozen rect (an undersized rect
         # would silently drop source rows).
         R_warp_f = force.get("R_warp")
         if R_warp_f is not None:
-            if (not np.isfinite(st.get("span_wu", np.nan))
-                    or st["span_wu"] / dwu > _wp.RECT_W - 132
+            if (not np.isfinite(span_gx)
+                    or span_gx > _wp.RECT_W - 132
                     or Wi < _wp.RECT_W
-                    or st["span_wv"] / dwv > R_warp_f - 10):
+                    or span_gy > R_warp_f - 10):
                 R_warp_f = None
-        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep,
-                    R_warp=R_warp_f,
-                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
-                    tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
-                    RECT_A=None, RECT_B=None, hcoef=None)
+        plan["R_warp"] = R_warp_f
         if force.get("RECT_A") is not None and "span_wv_t" in st:
-            from . import plan as plan_mod
-
             tp = plan_mod.two_pass_warp_plan(
                 uniforms, p_axis, height, width, plan, st,
                 only_variant=force.get("warp_variant", "A"))
@@ -1016,8 +1161,32 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     cap_w = max(width * max_oversample, 2304.0)
     cap_h = max(height * max_oversample, 1536.0)
     for f in (1.0, 1.3, 1.7, 2.2, float("inf")):
-        Wi = max(Wi_q / f, Wi_k, 128.0)
-        Hi = max(Hi_q / f, Hi_k, 8.0)
+        fs = 1e12 if f == float("inf") else f
+        eu = _capped_ends(rng_u, f_lo_u, f_hi_u, fs, cap_fp_u)
+        ev = _capped_ends(rng_v, f_lo_v, f_hi_v, fs, cap_fp_v)
+        if eu is None or ev is None:
+            return None
+        fl_u_t, fh_u_t, Wi = eu
+        # v-cap preference: a tail clamped at the per-slab-kernel cap can
+        # block the ≥16-row brick tiles (span = tile_h·dwv_max·Sv·t_max
+        # must fit the brick rect), falling to 8-row tiles that pay 2-4×
+        # the per-brick control work. Try tile-32/16-friendly caps first
+        # and keep the tallest whose grid stays within 25 % of the
+        # free-cap height.
+        fl_v_t, fh_v_t, Hi = ev
+        if brick_wanted:
+            span_cap = min(47.0, 53.0 - drift_bv)
+            for th_pref, grow in ((32, 1.25), (16, 1.25), (8, 1.6)):
+                cap_th = span_cap / (th_pref * Sv * t_max)
+                if cap_th <= 0:
+                    continue
+                ev_t = _capped_ends(rng_v, f_lo_v, f_hi_v, fs,
+                                    min(cap_fp_v, cap_th))
+                if ev_t is not None and ev_t[2] <= grow * ev[2] + 1e-6:
+                    fl_v_t, fh_v_t, Hi = ev_t
+                    break
+        Wi = max(Wi, 128.0)
+        Hi = max(Hi, 8.0)
         if f != float("inf") and (Wi > cap_w or Hi > cap_h):
             continue
         # Quantize grid dims coarsely: every distinct (Hi, Wi) is a separate
@@ -1025,11 +1194,11 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         # every few frames.
         Wi = -(-int(Wi) // 256) * 256
         Hi = -(-int(Hi) // 64) * 64
-        dwu = (wu_hi - wu_lo) / Wi
-        dwv = (wv_hi - wv_lo) / Hi
+        dwu, cu_g, dwu_max = _mobius_grid_params(rng_u, fl_u_t, fh_u_t, Wi)
+        dwv, cv_g, dwv_max = _mobius_grid_params(rng_v, fl_v_t, fh_v_t, Hi)
 
-        # Sweep kernel rect height (analytic on the uniform grid).
-        span_v = 8.0 * dwv * Sv * t_max
+        # Sweep kernel rect height (analytic; the grid's max footprint).
+        span_v = 8.0 * dwv_max * Sv * t_max
         R_sweep = None
         for cand in (16, 24, 32, 48):
             if span_v <= cand - 10:
@@ -1038,17 +1207,29 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         if R_sweep is None:
             continue
 
-        # Single-pass warp rect height from per-tile pixel→grid spans.
+        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=None,
+                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv,
+                    cu=cu_g, cv=cv_g, sgn_p=sgn_p,
+                    tile_h=8, R_brick=None, span_blks=2,
+                    RECT_A=None, RECT_B=None, hcoef=None)
+
+        # Single-pass warp rect height from per-tile pixel→grid spans
+        # (exact under the projective grid map when lattices available).
         # (Wi must hold the fixed 640-lane rect — an undersized source
         # would make the rect DMA read out of bounds: a device fault.)
-        span_gx = st["span_wu"] / dwu
-        span_gy = st["span_wv"] / dwv
+        gus = plan_mod.grid_unit_spans(st, plan)
+        if gus is not None:
+            span_gx, span_gy, _ = gus
+        else:
+            span_gx = st["span_wu"] / dwu
+            span_gy = st["span_wv"] / dwv
         R_warp = None
         if span_gx <= _wp.RECT_W - 132 and Wi >= _wp.RECT_W:
             for cand in (16, 24, 32, 48, 64, 96, 128, 192):
                 if span_gy <= cand - 10:
                     R_warp = cand
                     break
+        plan["R_warp"] = R_warp
 
         # Brick-kernel feasibility (render/sweep_bricks.py): the rect must
         # additionally cover the footprint drift across one 8-slab brick
@@ -1057,26 +1238,22 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         # control work amortised over 2× the pixels).
         tile_h, R_brick, span_blks = 8, None, 2
         if brick_wanted \
-                and 128.0 * dwu * Su * t_max + drift_bu <= RECT_W - 132:
+                and 128.0 * dwu_max * Su * t_max + drift_bu <= RECT_W - 132:
             for th in (32, 16, 8):
-                span = th * dwv * Sv * t_max
+                span = th * dwv_max * Sv * t_max
                 sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
                 need = max(8 * sb, int(span + drift_bv + 11.0))
                 fit = [c for c in (16, 24, 32, 48, 64) if need <= c]
                 if fit and Hi % th == 0:
                     tile_h, R_brick, span_blks = th, fit[0], sb
                     break
+        plan["tile_h"], plan["R_brick"], plan["span_blks"] = \
+            tile_h, R_brick, span_blks
 
-        plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=R_warp,
-                    wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv, sgn_p=sgn_p,
-                    tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
-                    RECT_A=None, RECT_B=None, hcoef=None)
         # Two-pass projective warp (render/plan.py): available when the
         # caller provided the host-analytic view stats (span_wv_t) and the
         # homography passes feasibility; preferred over single-pass.
         if uniforms is not None and "span_wv_t" in st:
-            from . import plan as plan_mod
-
             tp = plan_mod.two_pass_warp_plan(uniforms, p_axis, height,
                                              width, plan, st)
             if tp is not None:
@@ -1110,7 +1287,7 @@ _UNIFORM_FIELDS = (
     ("front_index", 1),
 )
 _N_UNIFORM = sum(n for _, n in _UNIFORM_FIELDS)            # 111
-N_PACKED = _N_UNIFORM + 16 + 4 + 9                          # + pvm, gp, hcoef
+N_PACKED = _N_UNIFORM + 16 + 6 + 9                          # + pvm, gp, hcoef
 
 
 def pack_frame_scalars(uniforms: FrameUniforms, pvm, gp,
@@ -1142,10 +1319,28 @@ def unpack_frame_scalars(arr):
     u = FrameUniforms(**vals)
     pvm = arr[off:off + 16].reshape(4, 4)
     off += 16
-    gp = arr[off:off + 4]
-    off += 4
+    gp = arr[off:off + 6]
+    off += 6
     hcoef = arr[off:off + 9]
     return u, pvm, gp, hcoef
+
+
+def _mob_fwd(w0, dw, c, x):
+    """Traced Möbius grid forward map w(ξ) (denominator positive over the
+    grid by construction — _mobius_grid_params)."""
+    return w0 + dw * x / (1.0 - c * x)
+
+
+def _mob_inv(w0, dw, c, w):
+    """Traced Möbius grid inverse map ξ(w). The denominator's zero is the
+    homography horizon — outside the grid's w-range for every in-range w;
+    out-of-range w (invalid pixels, masked later) get a sign-preserving
+    clamp so the division never produces inf/nan garbage that could
+    poison a min/max."""
+    den = dw + c * (w - w0)
+    den = jnp.where(jnp.abs(den) < 1e-20,
+                    jnp.where(den < 0, -1e-20, 1e-20), den)
+    return (w - w0) / den
 
 
 def _frame_body(
@@ -1187,16 +1382,19 @@ def _frame_body(
         rays = make_rays(uniforms, height, width)
     H, W = rays.valid.shape
     v_ax, u_ax = _SLICE_AXES[p_axis]
-    wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
-                          grid_params[3])
+    wu0, dwu, cu_g, wv0, dwv, cv_g = (
+        grid_params[0], grid_params[1], grid_params[2],
+        grid_params[3], grid_params[4], grid_params[5])
 
     Hi_loc = Hi // n_shards
     gyi = jax.lax.broadcasted_iota(f, (Hi_loc, Wi), 0)
     if axis_name is not None:
         gyi = gyi + jax.lax.axis_index(axis_name).astype(f) * f(Hi_loc)
     gxi = jax.lax.broadcasted_iota(f, (Hi_loc, Wi), 1)
-    wu_g = wu0 + (gxi + 0.5) * dwu
-    wv_g = wv0 + (gyi + 0.5) * dwv
+    # Möbius (projective) grid: w(ξ) = w0 + dw·ξ/(1 − c·ξ); c = 0 is the
+    # uniform grid (see _mobius_grid_params; 1 − c·ξ > 0 over the grid).
+    wu_g = _mob_fwd(wu0, dwu, cu_g, gxi + 0.5)
+    wv_g = _mob_fwd(wv0, dwv, cv_g, gyi + 0.5)
 
     # Brick kernel (sweep_bricks.py) whenever the plan proved its rect
     # feasible and every voxel plane gets ≥1 slab (the plan's drift margins
@@ -1277,8 +1475,9 @@ def _pixel_stage(
     H, W = rays.valid.shape
     H_img = H if H_total is None else H_total
     v_ax, u_ax = _SLICE_AXES[p_axis]
-    wu0, dwu, wv0, dwv = (grid_params[0], grid_params[1], grid_params[2],
-                          grid_params[3])
+    wu0, dwu, cu_g, wv0, dwv, cv_g = (
+        grid_params[0], grid_params[1], grid_params[2],
+        grid_params[3], grid_params[4], grid_params[5])
     num_test = test == Test.NUM_TEXTURE_SAMPLES
 
     d = rays.ray_dir
@@ -1287,8 +1486,8 @@ def _pixel_stage(
     safe = jnp.where(okp, d_p, 1.0)
     wu_pix = d[..., u_ax] / safe
     wv_pix = d[..., v_ax] / safe
-    gx = (wu_pix - wu0) / dwu - 0.5
-    gy = (wv_pix - wv0) / dwv - 0.5
+    gx = _mob_inv(wu0, dwu, cu_g, wu_pix) - 0.5
+    gy = _mob_inv(wv0, dwv, cv_g, wv_pix) - 0.5
     pix_ok = rays.valid & okp
     gx = jnp.where(pix_ok, gx, -10.0)
     gy = jnp.where(pix_ok, gy, -10.0)
@@ -1318,7 +1517,7 @@ def _pixel_stage(
                                            ).astype(f)
             iir = jax.lax.broadcasted_iota(jnp.int32, (Wi_g, Hp), 1
                                            ).astype(f)
-            wu_c = wu0 + (xgi + 0.5) * dwu
+            wu_c = _mob_fwd(wu0, dwu, cu_g, xgi + 0.5)
             den = bu - wu_c * bp_
             den = jnp.where(jnp.abs(den) < 1e-20,
                             jnp.where(den < 0, -1e-20, 1e-20), den)
@@ -1327,7 +1526,7 @@ def _pixel_stage(
             dd = jnp.where(jnp.abs(dd) < 1e-20,
                            jnp.where(dd < 0, -1e-20, 1e-20), dd)
             wv_b = (av * iir + bv * jhat + cv_) / dd
-            yb = (wv_b - wv0) / dwv - 0.5
+            yb = _mob_inv(wv0, dwv, cv_g, wv_b) - 0.5
             # Same masking rationale as variant A: no valid pixel consumes
             # a pass-1 column entry whose solved pixel column Ĵ is outside
             # the image + margin (the plan's feasibility window).
@@ -1341,7 +1540,7 @@ def _pixel_stage(
         else:
             ygi = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 0).astype(f)
             jj = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 1).astype(f)
-            wv_t = wv0 + (ygi + 0.5) * dwv
+            wv_t = _mob_fwd(wv0, dwv, cv_g, ygi + 0.5)
             den = av - wv_t * ap
             den = jnp.where(jnp.abs(den) < 1e-20,
                             jnp.where(den < 0, -1e-20, 1e-20), den)
@@ -1350,7 +1549,7 @@ def _pixel_stage(
             dd = jnp.where(jnp.abs(dd) < 1e-20,
                            jnp.where(dd < 0, -1e-20, 1e-20), dd)
             wu_a = (au * ihat + bu * jj + cu_) / dd
-            xa = (wu_a - wu0) / dwu - 0.5
+            xa = _mob_inv(wu0, dwu, cu_g, wu_a) - 0.5
             # Mask pass-A positions outside the solved-image-row validity
             # window — the SAME window the plan's feasibility span used
             # (render/plan.py:two_pass_warp_plan). Past the homography
@@ -1443,7 +1642,8 @@ def render_frame(
         raise PallasUnsupported("view exceeds w-grid kernel limits")
     n_slabs = int(max(2, round(Np * oversample)))
     grid_params = jnp.asarray(
-        [plan["wu0"], plan["dwu"], plan["wv0"], plan["dwv"]], jnp.float32
+        [plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+         plan["wv0"], plan["dwv"], plan.get("cv", 0.0)], jnp.float32
     )
     hcoef = (jnp.asarray(plan["hcoef"], jnp.float32)
              if plan.get("hcoef") is not None else None)
