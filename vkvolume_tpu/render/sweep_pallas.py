@@ -890,13 +890,38 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
         return view0, None
 
     def cost(pl):
-        # Grid cells × kernel factor (per-slab kernel measured ~4-5× the
-        # brick kernel per cell) + XLA-gather-warp penalty (~100 ms ≈ the
-        # brick sweep of a 16M-cell grid).
-        c = pl["Hi"] * pl["Wi"] * (1.0 if pl.get("R_brick") else 4.0)
+        # Grid cells × kernel factor: the brick kernel pays per-tile
+        # control work ∝ 1/tile_h (an 8-row-tile plan measured ~1.25× a
+        # 16-row plan on the same grid); the per-slab kernel ~4-5× the
+        # brick kernel per cell; XLA-gather-warp penalty ~100 ms ≈ the
+        # brick sweep of a 16M-cell grid.
+        if pl.get("R_brick"):
+            c = pl["Hi"] * pl["Wi"] * (1.0 + 6.0 / pl["tile_h"])
+        else:
+            c = 4.0 * pl["Hi"] * pl["Wi"]
         if pl.get("warp_xla"):
             c += 16e6
         return c
+
+    def plan_axis(view, ax):
+        # Uniform grid first: away from the axis handover it yields taller
+        # brick tiles (the Möbius fit's clamped TAIL footprint can force
+        # 8-row tiles — measured +25 % sweep on the headline pose). The
+        # projective grid is the RESCUE for poses whose uniform grid
+        # explodes (handover band: range/median-footprint up to ~31k
+        # columns) — engage it only when the uniform plan is infeasible or
+        # expensive, and keep the cheaper of the two.
+        pl_u = plan_from_stats(view, uniforms, ax, shape_for(ax), height,
+                               width, max_oversample, mobius=False)
+        if pl_u is not None and cost(pl_u) < 24e6 and not pl_u.get("warp_xla"):
+            return pl_u
+        pl_m = plan_from_stats(view, uniforms, ax, shape_for(ax), height,
+                               width, max_oversample, mobius=True)
+        if pl_u is None:
+            return pl_m
+        if pl_m is None:
+            return pl_u
+        return pl_m if cost(pl_m) < cost(pl_u) else pl_u
 
     best = None
     for ax, sgn_ax in view0.get("unmixed_axes") or [(view0["p_axis"],
@@ -906,17 +931,16 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
                                            restrict=(ax, sgn_ax)))
         if view is None or view.get("mixed"):
             continue
-        pl = plan_from_stats(view, uniforms, ax, shape_for(ax), height,
-                             width, max_oversample)
+        pl = plan_axis(view, ax)
         if pl is None:
             continue
         if best is None or cost(pl) < cost(best[1]):
             best = (view, pl)
-        # A bricked Pallas-warp plan under ~8M cells is already near the
-        # frame-cost floor — skip the runner-up axes (each costs a full
-        # host analysis + plan, ~8 ms; candidates arrive |mean|-first, so
-        # the first is the aligned-band winner almost always).
-        if cost(best[1]) < 8e6:
+        # A bricked Pallas-warp plan in this cost class is already near
+        # the frame-cost floor — skip the runner-up axes (each costs a
+        # full host analysis + plan, ~8 ms; candidates arrive |mean|-first,
+        # so the first is the aligned-band winner almost always).
+        if cost(best[1]) < 24e6:
             break
     if best is None:
         return view0, None
@@ -975,7 +999,7 @@ def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):
 
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     height: int, width: int, max_oversample: float = 2.5,
-                    force: dict | None = None):
+                    force: dict | None = None, mobius: bool | None = None):
     """Grid sizing + static kernel parameters from the view statistics.
 
     Searches over a grid-coarsening factor: diagonal views (|wu| → large)
@@ -1021,7 +1045,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # fit (_mobius_grid_params); missing → uniform grid (f_lo = f_hi).
     q_u = max(st["du_q"], 1e-9)
     q_v = max(st["dv_q"], 1e-9)
-    mobius = os.environ.get("VKV_MOBIUS", "1") != "0"
+    if mobius is None:
+        mobius = os.environ.get("VKV_MOBIUS", "1") != "0"
     f_lo_u = (st.get("du_lo_q") or q_u) if mobius else q_u
     f_hi_u = (st.get("du_hi_q") or q_u) if mobius else q_u
     f_lo_v = (st.get("dv_lo_q") or q_v) if mobius else q_v
