@@ -79,3 +79,62 @@ def test_analytic_view_no_coverage():
                              fovy_deg=40.0, aspect=1.0)
     u = _uniforms(cam)
     assert plan_mod.analyze_view(u, 64, 64) is None
+
+
+class TestSelectViewPlan:
+    """Cost-based axis/grid-family selection (sweep_pallas.select_view_plan).
+
+    The projective (Mobius) grid is a RESCUE for handover-band poses whose
+    uniform grid explodes; tame poses must keep the uniform grid (the
+    Mobius fit's clamped tail footprint forces short brick tiles — measured
+    +25 % sweep on the headline pose)."""
+
+    H, W = 1080, 1920
+
+    @staticmethod
+    def _setup(azimuth):
+        n = 512
+        cam = orbit_camera(radius=220.0, azimuth_deg=azimuth,
+                           elevation_deg=20, aspect=1920 / 1080)
+        node = math3d.scale((100.0 / n,) * 3)
+        img_t = math3d.scale((float(n),) * 3)
+        u = make_uniforms(cam, node, img_t, 50.0, (4.0, 4.0, 4.0))
+        shape_for = lambda p: (n, n, n)  # noqa: E731 — cubic volume
+        return u, shape_for
+
+    def test_tame_pose_keeps_uniform_grid(self):
+        u, shape_for = self._setup(azimuth=30.0)
+        view, pl = sp.select_view_plan(u, self.H, self.W, shape_for)
+        assert pl is not None and not view["mixed"]
+        assert pl.get("cu", 0.0) == 0.0 and pl.get("cv", 0.0) == 0.0
+        assert pl["tile_h"] >= 16
+        assert not pl.get("warp_xla")
+
+    @pytest.mark.parametrize("azimuth", [44.0, 46.0])
+    def test_handover_pose_gets_a_plan(self, azimuth):
+        # Near the 45-deg handover the dominant axis's uniform grid blows
+        # past the kernel footprint caps; selection must still deliver a
+        # Pallas-sweepable plan (runner-up axis and/or projective grid).
+        u, shape_for = self._setup(azimuth=azimuth)
+        view, pl = sp.select_view_plan(u, self.H, self.W, shape_for)
+        assert pl is not None and not view["mixed"]
+        # The winning plan must be bricked (the per-slab kernel at these
+        # grid sizes is the seconds-per-frame class the orbit cannot pay).
+        assert pl["R_brick"] is not None
+
+    def test_mobius_grid_params_cover_range_exactly(self):
+        import math
+        rng, f_lo, f_hi, N = 3.7, 0.002, 0.013, 1024.0
+        dw, c, dw_max = sp._mobius_grid_params(rng, f_lo, f_hi, N)
+        # w(N) - w(0) == rng (the grid covers the whole w-range).
+        w_end = dw * N / (1.0 - c * N)
+        assert w_end == pytest.approx(rng, rel=1e-9)
+        # Footprint at the dense end matches the fitted f_lo scaling and
+        # the max footprint bound dominates both ends.
+        s = rng / (N * math.sqrt(f_lo * f_hi))
+        assert dw == pytest.approx(s * f_lo, rel=1e-12)
+        fp_end = dw / (1.0 - c * N) ** 2
+        assert dw_max >= dw - 1e-15 and dw_max <= max(dw, fp_end) + 1e-12
+        # Uniform degeneration: f_lo == f_hi -> c == 0.
+        dw_u, c_u, _ = sp._mobius_grid_params(rng, f_lo, f_lo, N)
+        assert c_u == 0.0 and dw_u == pytest.approx(rng / N)

@@ -77,11 +77,11 @@ def analyze_view(u, height: int, width: int, grid: int = 24,
     the volume.
 
     ``restrict = (axis, sign)`` analyses only the rays with
-    sign·d[axis] > 0 and forces that axis as the principal axis — the
-    SIGN-SPLIT sweep for handover-band poses where the dominant axis is
-    sign-mixed over the frame but each half is tame: the engine sweeps
-    each half on its own grid and selects per pixel (each pixel ray has
-    exactly one direction sign). None when the half is empty.
+    sign·d[axis] > 0 and forces that axis as the principal axis —
+    sweep_pallas.select_view_plan uses it to evaluate runner-up candidate
+    axes near the principal-axis handover (where the largest-|mean| axis
+    plans a far costlier grid than a runner-up). None when no restricted
+    ray hits the volume.
     """
     # ONE pixel lattice serves extrema, medians, mixed-sign detection AND
     # the per-tile span bounds (this function runs per pose on the orbit's
