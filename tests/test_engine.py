@@ -273,3 +273,21 @@ def test_live_octants_subset_and_aniso_image_matches_iso():
     # Mixed/None views fall back to all 8.
     assert _live_octants(None) == tuple(range(8))
     assert _live_octants({"mixed": True}) == tuple(range(8))
+
+
+@pytest.mark.parametrize("test_mode", [RT.RAY_ENTRY, RT.RAY_EXIT])
+def test_entry_exit_test_images_direct_path(test_mode):
+    # RAY_ENTRY/RAY_EXIT never march (volume_render.frag:168-173): the
+    # pallas engine serves them straight from the ray setup — one
+    # elementwise program, no maps — and must match the marcher oracle.
+    eng, _, _ = _engine("pallas", n=48)
+    eng.options.test = test_mode
+    out = eng.render(CAM, 32, 128)
+    assert eng.last_renderer == "sweep"
+    ref_eng, _, _ = _engine("marcher", n=48)
+    ref_eng.options.test = test_mode
+    ref = ref_eng.render(CAM, 32, 128)
+    np.testing.assert_allclose(np.asarray(out.color),
+                               np.asarray(ref.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(ref.depth), atol=1e-6)

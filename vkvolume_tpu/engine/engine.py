@@ -539,6 +539,26 @@ class Engine:
                         del cache[k]
                 cache[("pose", cam_key)] = pose
         uniforms, view, rays = pose["uniforms"], pose["view"], pose["rays"]
+        if self.options.test in (Test.RAY_ENTRY, Test.RAY_EXIT):
+            # No march: the entry/exit POSITION images
+            # (volume_render.frag:168-173) come straight from the ray
+            # setup — one elementwise device program, no maps, no banding
+            # (render/sweep.py:134-139 and marcher_xla.py:103-112 agree
+            # on the semantics).
+            if rays is None:
+                rays = pose["rays"] = make_rays(
+                    uniforms, height, width,
+                    depth_image=depth_image, use_depth=use_depth)
+            pt = (rays.entry if self.options.test == Test.RAY_ENTRY
+                  else rays.exit)
+            color = jnp.concatenate(
+                [pt, jnp.ones((height, width, 1), jnp.float32)], -1)
+            color = jnp.where(rays.valid[..., None], color, 0.0)
+            zi = jnp.zeros((height, width), jnp.int32)
+            self.last_renderer = "sweep"
+            self.renderer_counts["sweep"] += 1
+            return RenderOutput(color, rays.depth_init, zi, zi, zi,
+                                jnp.int32(0))
         if view is None or view["mixed"]:
             return None  # caller falls back to the per-ray marcher
         p = view["p_axis"]
