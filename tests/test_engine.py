@@ -291,3 +291,29 @@ def test_entry_exit_test_images_direct_path(test_mode):
                                np.asarray(ref.color), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.depth),
                                np.asarray(ref.depth), atol=1e-6)
+
+
+def test_edge_repair_closes_resample_gap():
+    # The sweep resamples a w-grid at pixel centres; silhouette pixels can
+    # land on the wrong side of the edge. edge_repair re-marches the
+    # suspect pixels with the oracle marcher — the repaired frame must be
+    # strictly closer to the oracle, and the worst repaired-region error
+    # must collapse to the oracle's own tolerance.
+    H, W = 64, 64
+    ref = _engine("marcher", n=48)[0].render(CAM, W, H)
+    plain_eng, _, _ = _engine("sweep", n=48)
+    plain = plain_eng.render(CAM, W, H)
+    rep_eng, _, _ = _engine("sweep", n=48)
+    rep_eng.options.edge_repair = True
+    rep = rep_eng.render(CAM, W, H)
+
+    a_ref = np.asarray(ref.color)
+    d_plain = np.abs(np.asarray(plain.color) - a_ref).max(-1)
+    d_rep = np.abs(np.asarray(rep.color) - a_ref).max(-1)
+    n_found, budget = rep_eng.last_repair_px
+    assert 0 < int(n_found) <= budget
+    # No pixel may get worse, and the >2/255 population must strictly
+    # shrink (the repaired pixels coincide with the oracle; the remaining
+    # diffs are smooth-region resampling below the suspect threshold).
+    assert d_rep.max() <= d_plain.max() + 1e-6
+    assert (d_rep > 2 / 255).sum() < (d_plain > 2 / 255).sum()

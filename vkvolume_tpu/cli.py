@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sample the baked 256x256 TF texture instead of the "
                         "closed form (the TRANSFER_FUNCTION_TEXTURE build "
                         "variant, transfer_function.glsl:36-38)")
+    p.add_argument("--edge-repair", action="store_true",
+                   help="quality mode: re-march resampling-suspect pixels "
+                        "(silhouette/depth edges) with the exact per-ray "
+                        "marcher and splice them into the sweep frame")
     p.add_argument("--azimuth", type=float, default=30.0)
     p.add_argument("--elevation", type=float, default=20.0)
     p.add_argument("--orbit", type=float, default=0.0,
@@ -106,6 +110,7 @@ def main(argv=None) -> int:
         early_ray_termination=not args.no_ert,
         test=Test(args.test),
         texture_tf=args.texture_tf,
+        edge_repair=args.edge_repair,
     )
     engine = Engine(render_opts, benchmark_mode=args.benchmark > 0,
                     renderer=args.renderer)

@@ -360,6 +360,10 @@ class Engine:
             out = self._render_sweep(volume, camera, width, height,
                                      depth_image=depth_image)
             if out is not None:
+                if (self.options.edge_repair
+                        and self.options.test == Test.NONE):
+                    out = self._edge_repair(out, volume, camera,
+                                            width, height, depth_image)
                 return out
             # Mixed principal-axis signs (camera inside the volume, wide
             # FOV): one global slab order cannot composite every ray
@@ -436,6 +440,87 @@ class Engine:
                 iterations=parts[0].iterations,
             )
         return march_rows(rays)
+
+    def _edge_repair(self, out: RenderOutput, volume: Volume, camera,
+                     width: int, height: int, depth_image) -> RenderOutput:
+        """Exact-marcher repair of resampling-suspect pixels (quality mode).
+
+        The w-grid sweep + warp resample the grid image at pixel centres;
+        at silhouette/depth discontinuities a ~1 %-class of pixels can land
+        on the wrong side of the edge (docs/parity_r2.json: 1.2 % of pixels
+        >8/255 on the beetle). This pass finds pixels whose 3×3 alpha/depth
+        neighbourhood is discontinuous (dilated once), re-marches ONLY
+        those rays with the reference-exact per-ray marcher
+        (render/marcher_xla.py — the parity oracle), and splices them in.
+        Pixel budget is static (~3 % of the frame, 1024-aligned for stable
+        jit shapes); overflow beyond the budget keeps the sweep pixels.
+        """
+        f = jnp.float32
+        a = out.color[..., 3]
+        dep = out.depth
+
+        def rng3(x):
+            mx = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+            mn = jax.lax.reduce_window(
+                x, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME")
+            return mx - mn
+
+        mask = (rng3(a) > 0.04) | (rng3(dep) > 0.01)
+        mask = jax.lax.reduce_window(
+            mask.astype(f), -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+            "SAME") > 0.5
+        n_px = height * width
+        K = int(min(n_px, -(-max(2048, n_px // 32) // 1024) * 1024))
+        idx = jnp.nonzero(mask.ravel(), size=K, fill_value=0)[0]
+        n_found = mask.sum()
+        live = jnp.arange(K) < n_found
+        # Device value, NOT synced here (a host int() would stall the
+        # frame pipeline ~34 ms on the relay); artifact scripts int() it.
+        self.last_repair_px = (n_found, K)
+
+        uniforms = make_uniforms(
+            camera, volume.node_transform, volume.image_transform,
+            self.options.clip_distance,
+            np.asarray(volume.effective_block_size_xyz, np.float32))
+        use_depth = (self.options.depth_attachment
+                     and depth_image is not None)
+        rays = make_rays(uniforms, height, width, depth_image=depth_image,
+                         use_depth=use_depth)
+        sub = jax.tree.map(
+            lambda x: (x.reshape((n_px,) + x.shape[2:])[idx][None]
+                       if getattr(x, "ndim", 0) >= 2
+                       and x.shape[:2] == (height, width) else x),
+            rays)
+        tf = self._tf(volume)
+        pvm = jnp.asarray(
+            (camera.proj.astype(np.float64)
+             @ camera.view.astype(np.float64)
+             @ volume.model_matrix).astype(np.float32))
+        rep = march(
+            volume.density, volume.gradient,
+            volume.dist_maps
+            if self.options.skipping_type != SkippingType.NONE else None,
+            tf, sub, uniforms.block_size, pvm,
+            skipping_type=self.options.skipping_type,
+            early_ray_termination=self.options.early_ray_termination,
+            precomputed_gradient=volume.options.use_precomputed_gradient,
+            test=self.options.test,
+            tf_texture=self._tf_texture(volume),
+        )
+
+        # Dead (padding) lanes scatter to an out-of-bounds index and are
+        # dropped — a live suspect at pixel 0 must not race with padding
+        # writes (nonzero pads with fill_value=0).
+        idx_w = jnp.where(live, idx, n_px)
+
+        def splice(old, new):
+            flat = old.reshape((n_px,) + old.shape[2:])
+            return flat.at[idx_w].set(new[0], mode="drop").reshape(old.shape)
+
+        return dataclasses.replace(
+            out, color=splice(out.color, rep.color),
+            depth=splice(out.depth, rep.depth))
 
     def _tf_texture(self, volume: Volume):
         """Baked TF texture when the TRANSFER_FUNCTION_TEXTURE variant is

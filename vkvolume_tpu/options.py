@@ -43,6 +43,12 @@ class RenderOptions:
     # superset of the texture's (u8 truncation only zeroes small alphas), so
     # skipping stays conservative-correct.
     texture_tf: bool = False
+    # Quality mode: re-march resampling-suspect pixels (alpha/depth
+    # discontinuities — silhouettes) with the reference-exact per-ray
+    # marcher and splice them into the sweep+warp frame. Closes the w-grid
+    # resampling parity gap for a ~1-3 % pixel budget; off by default (the
+    # headline path matches the reference's own frame semantics).
+    edge_repair: bool = False
 
 
 @dataclasses.dataclass
