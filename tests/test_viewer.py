@@ -1,0 +1,72 @@
+"""Interactive viewer (vkvolume_tpu/viewer.py): the reference's GUI loop
+(slider edit → map rebuild → re-render) served over HTTP. Drives the real
+server end-to-end: page, frame fetches with TF edits, stats endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vkvolume_tpu.engine import Engine, RenderOptions, SkippingType, \
+    VolumeOptions, from_array
+from vkvolume_tpu.viewer import ViewerServer
+
+from util import sphere_shell_volume
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    vol_u8 = sphere_shell_volume(40)
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="sweep")
+    vol = from_array(vol_u8, VolumeOptions(intensity_min=0.1,
+                                           gradient_max=0.0),
+                     block_size=4)
+    vol.set_scale((100.0 / 40,) * 3)
+    eng.add_volume(vol)
+    srv = ViewerServer(eng, vol, 64, 64, port=0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=120) as r:
+        return r.read(), dict(r.headers)
+
+
+def test_page_serves_sliders(viewer):
+    body, hdrs = _get(viewer, "/")
+    assert b"imin" in body and b"/frame.png" in body
+    assert "text/html" in hdrs["Content-Type"]
+
+
+def test_frame_renders_and_tf_edit_rebuilds(viewer):
+    png1, h1 = _get(viewer, "/frame.png?imin=0.1")
+    assert png1[:8] == b"\x89PNG\r\n\x1a\n"
+    # Same TF again: dirty-tracking must SKIP the rebuild.
+    png1b, h1b = _get(viewer, "/frame.png?imin=0.1")
+    assert float(h1b["X-Update-Ms"]) == 0.0
+    # TF edit: rebuild runs and the image actually changes.
+    png2, h2 = _get(viewer, "/frame.png?imin=0.35")
+    assert float(h2["X-Update-Ms"]) > 0.0
+    assert png2 != png1
+    assert h2["X-Renderer"] == "sweep"
+
+
+def test_camera_slider_changes_frame(viewer):
+    png1, _ = _get(viewer, "/frame.png?azimuth=30")
+    png2, _ = _get(viewer, "/frame.png?azimuth=75")
+    assert png2 != png1
+
+
+def test_stats_endpoint(viewer):
+    _get(viewer, "/frame.png?imin=0.12")
+    body, _ = _get(viewer, "/stats")
+    st = json.loads(body)
+    assert st["frames"] >= 1 and st["renderer"] == "sweep"
+    assert st["render_ms"] > 0

@@ -84,18 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+def setup_engine(args):
+    """Engine + volume from parsed CLI args (shared with the viewer).
 
-    from .bench.harness import benchmark_camera, run_sweep
-    from .camera import orbit_camera, fit_distance
+    Does NOT add the volume to the engine (callers time that step — it is
+    the reference's load → gradient → map-update pipeline)."""
     from .engine import Engine, RenderOptions, from_array, from_file
     from .options import SkippingType, Test, VolumeOptions
-
-    if args.sweep:
-        run_sweep(width=args.width, height=args.height, frames=args.frames,
-                  scale=args.synth_scale)
-        return 0
 
     opts = VolumeOptions(
         sampling_factor=args.sampling,
@@ -127,6 +122,21 @@ def main(argv=None) -> int:
         volume = from_file(dataset, opts, block_size=args.blocksize)
     d, h, w = volume.density.shape
     volume.set_scale((100.0 / max(d, h, w),) * 3)
+    return engine, volume
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .bench.harness import benchmark_camera, run_sweep
+    from .camera import orbit_camera, fit_distance
+
+    if args.sweep:
+        run_sweep(width=args.width, height=args.height, frames=args.frames,
+                  scale=args.synth_scale)
+        return 0
+
+    engine, volume = setup_engine(args)
 
     t0 = time.perf_counter()
     stats = engine.add_volume(volume)

@@ -1,0 +1,242 @@
+"""Interactive viewer: the reference's GUI loop as a local HTTP app.
+
+The reference is an interactive renderer — dragging an ImGui TF slider
+triggers ``update_transfer_function`` (occupancy + distance-map rebuild)
+and the next frame renders with the new maps
+(src/volume_render.cpp:447-547 ``draw_gui`` → :392-445 update path).
+Vulkan swapchains/ImGui have no TPU equivalent, so the interactive loop is
+served over HTTP instead: a browser page with TF/camera sliders fetches
+``/frame.png`` on input, and the server applies the edit (engine
+dirty-tracking rebuilds the maps only when the TF actually changed),
+renders on the device, and streams the PNG back with per-stage timing
+headers. The whole engine surface stays identical to the CLI's.
+
+Usage::
+
+    python -m vkvolume_tpu.viewer --synth beetle --width 960 --height 540
+    # then open http://localhost:8787/
+
+All CLI flags (dataset/TF/skipmode/renderer/...) are shared with
+``vkvolume_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>vkvolume_tpu viewer</title><style>
+ body { font-family: sans-serif; margin: 1.2em; background: #111; color: #ddd; }
+ .row { margin: .3em 0; }
+ label { display: inline-block; width: 8em; }
+ input[type=range] { width: 22em; vertical-align: middle; }
+ #stats { margin-top: .6em; color: #8c8; font-family: monospace; }
+ img { border: 1px solid #333; margin-top: .8em; image-rendering: pixelated; }
+</style></head><body>
+<h3>vkvolume_tpu &mdash; interactive viewer</h3>
+<div id="sliders"></div>
+<div id="stats">&nbsp;</div>
+<img id="frame" width="__W__" height="__H__"/>
+<script>
+const P = {imin:__IMIN__, imax:__IMAX__, gmin:__GMIN__, gmax:__GMAX__,
+           azimuth:30, elevation:20};
+const DEFS = [
+ ["imin", 0, 1, 0.001], ["imax", 0, 1, 0.001],
+ ["gmin", 0, 1, 0.001], ["gmax", 0, 1, 0.001],
+ ["azimuth", -180, 180, 1], ["elevation", -89, 89, 1]];
+const box = document.getElementById("sliders");
+for (const [k, lo, hi, st] of DEFS) {
+  const row = document.createElement("div"); row.className = "row";
+  row.innerHTML = `<label>${k}</label>
+    <input type="range" id="${k}" min="${lo}" max="${hi}" step="${st}"
+           value="${P[k]}"/> <span id="${k}v">${P[k]}</span>`;
+  box.appendChild(row);
+  row.querySelector("input").addEventListener("input", e => {
+    P[k] = parseFloat(e.target.value);
+    document.getElementById(k + "v").textContent = e.target.value;
+    refresh();
+  });
+}
+let inflight = false, dirty = false;
+async function refresh() {
+  if (inflight) { dirty = true; return; }
+  inflight = true;
+  const q = new URLSearchParams(P).toString();
+  const r = await fetch("/frame.png?" + q);
+  const blob = await r.blob();
+  document.getElementById("frame").src = URL.createObjectURL(blob);
+  document.getElementById("stats").textContent =
+    `update ${r.headers.get("X-Update-Ms")} ms | ` +
+    `render ${r.headers.get("X-Render-Ms")} ms | ` +
+    `renderer ${r.headers.get("X-Renderer")} | ` +
+    `occupied ${r.headers.get("X-Occupied-Pct")} %`;
+  inflight = false;
+  if (dirty) { dirty = false; refresh(); }
+}
+refresh();
+</script></body></html>
+"""
+
+
+class ViewerServer:
+    """HTTP app around an Engine + Volume (single render lock — the device
+    executes serially; concurrent slider events coalesce in the page)."""
+
+    def __init__(self, engine, volume, width: int, height: int,
+                 host: str = "127.0.0.1", port: int = 8787):
+        from .camera import fit_distance
+
+        self.engine = engine
+        self.volume = volume
+        self.width = width
+        self.height = height
+        self.radius = fit_distance(
+            50.0, np.deg2rad(60.0), width / height) * 1.3
+        self.lock = threading.Lock()
+        self.last = dict(update_ms=0.0, render_ms=0.0, renderer="",
+                         occupied_pct=None, frames=0)
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    body = viewer.page().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif u.path == "/frame.png":
+                    q = {k: float(v[0])
+                         for k, v in parse_qs(u.query).items()}
+                    png, hdrs = viewer.frame(q)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    for k, v in hdrs.items():
+                        self.send_header(k, v)
+                    self.end_headers()
+                    self.wfile.write(png)
+                elif u.path == "/stats":
+                    body = json.dumps(viewer.last).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_error(404)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def page(self) -> str:
+        o = self.volume.options
+        return (_PAGE
+                .replace("__W__", str(self.width))
+                .replace("__H__", str(self.height))
+                .replace("__IMIN__", repr(o.intensity_min))
+                .replace("__IMAX__", repr(o.intensity_max))
+                .replace("__GMIN__", repr(o.gradient_min))
+                .replace("__GMAX__", repr(o.gradient_max)))
+
+    def frame(self, q: dict) -> tuple[bytes, dict]:
+        """Apply slider state, render one frame, return (png, headers).
+
+        TF edits route through ``Engine.update_transfer_function`` exactly
+        like the reference's GUI callback; unchanged TFs skip the rebuild
+        (the engine's dirty-tracking key)."""
+        from PIL import Image
+
+        from .camera import orbit_camera
+
+        with self.lock:
+            o = self.volume.options
+            tf_new = (q.get("imin", o.intensity_min),
+                      q.get("imax", o.intensity_max),
+                      q.get("gmin", o.gradient_min),
+                      q.get("gmax", o.gradient_max))
+            update_ms = 0.0
+            occupied = self.last["occupied_pct"]
+            if tf_new != (o.intensity_min, o.intensity_max,
+                          o.gradient_min, o.gradient_max):
+                (o.intensity_min, o.intensity_max,
+                 o.gradient_min, o.gradient_max) = tf_new
+                t0 = time.perf_counter()
+                stats = self.engine.update_transfer_function(
+                    self.volume, timed_runs=1)
+                update_ms = (time.perf_counter() - t0) * 1e3
+                occupied = stats.occupied_voxel_percent
+            cam = orbit_camera(
+                radius=self.radius,
+                azimuth_deg=q.get("azimuth", 30.0),
+                elevation_deg=q.get("elevation", 20.0),
+                aspect=self.width / self.height)
+            t0 = time.perf_counter()
+            rgb = self.engine.render_image(cam, self.width, self.height)
+            render_ms = (time.perf_counter() - t0) * 1e3
+            self.last = dict(
+                update_ms=round(update_ms, 2),
+                render_ms=round(render_ms, 2),
+                renderer=self.engine.last_renderer,
+                occupied_pct=occupied,
+                frames=self.last["frames"] + 1)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="PNG")
+        return buf.getvalue(), {
+            "X-Update-Ms": f"{update_ms:.1f}",
+            "X-Render-Ms": f"{render_ms:.1f}",
+            "X-Renderer": str(self.engine.last_renderer),
+            "X-Occupied-Pct": str(occupied),
+            "Cache-Control": "no-store",
+        }
+
+    def serve_forever(self):
+        print(f"viewer listening on http://{self.httpd.server_address[0]}:"
+              f"{self.port}/", flush=True)
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def main(argv=None) -> int:
+    from .cli import build_parser, setup_engine
+
+    p = build_parser()
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--host", default="127.0.0.1")
+    args = p.parse_args(argv)
+    engine, volume = setup_engine(args)
+    t0 = time.perf_counter()
+    engine.add_volume(volume)
+    print(f"Prepared in {time.perf_counter() - t0:.2f}s", flush=True)
+    srv = ViewerServer(engine, volume, args.width, args.height,
+                       host=args.host, port=args.port)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
