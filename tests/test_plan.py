@@ -138,3 +138,62 @@ class TestSelectViewPlan:
         # Uniform degeneration: f_lo == f_hi -> c == 0.
         dw_u, c_u, _ = sp._mobius_grid_params(rng, f_lo, f_lo, N)
         assert c_u == 0.0 and dw_u == pytest.approx(rng / N)
+
+
+def test_orbit_frozen_tiers_cover_every_pose():
+    """Orbit contract (bench.freeze_orbit_statics): under the frozen
+    envelope tiers every pose of the benchmark orbit must resolve a plan
+    (no pose may fall to the XLA sweep at seconds/frame), nearly all poses
+    must keep the Pallas warp, and the compile budget stays bounded (a
+    handful of tiers per axis group — each tier is a multi-minute remote
+    Mosaic compile on the real device)."""
+    from vkvolume_tpu.bench.harness import (benchmark_camera,
+                                            freeze_orbit_statics)
+    from vkvolume_tpu.engine import Engine, RenderOptions, from_array
+    from vkvolume_tpu.options import SkippingType, VolumeOptions
+
+    d = h = w = 416   # beetle-class extent ratio kept cubic for speed
+    vol = from_array(np.zeros((d, h, w), np.uint8),
+                     VolumeOptions(intensity_min=0.1), block_size=4)
+    vol.set_scale((100.0 / max(d, h, w),) * 3)
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="pallas")
+    W, H = 1920, 1080
+    azs = [30 + 2 * i for i in range(51)]
+    cams = [benchmark_camera(W / H, azimuth=a) for a in azs]
+    force = freeze_orbit_statics(eng, vol, cams, W, H)
+    assert sum(len(t) for t in force.values()) <= 10
+
+    def vshape(p):
+        return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
+
+    pallas_warp = xla_warp = none_ct = 0
+    for cam in cams:
+        u = make_uniforms(cam, vol.node_transform, vol.image_transform,
+                          eng.options.clip_distance,
+                          np.asarray(vol.effective_block_size_xyz,
+                                     np.float32))
+        view, plan_u = sp.select_view_plan(u, H, W, vshape)
+        p = view["p_axis"]
+        tiers = force.get((p, plan_u["sgn_p"] if plan_u
+                           else view["sgn"])) or []
+        plan = plan_x = None
+        for f_ in tiers:
+            cand = sp.plan_from_stats(view, u, p, vshape(p), H, W,
+                                      force=f_)
+            if cand is None:
+                continue
+            if not cand.get("warp_xla"):
+                plan = cand
+                break
+            if plan_x is None:
+                plan_x = cand
+        plan = plan or plan_x or plan_u
+        if plan is None:
+            none_ct += 1
+        elif plan.get("warp_xla"):
+            xla_warp += 1
+        else:
+            pallas_warp += 1
+    assert none_ct == 0
+    assert pallas_warp >= 45
