@@ -803,6 +803,16 @@ class Engine:
                         )
                         self.last_renderer = "pallas"
                         self.renderer_counts["pallas"] += 1
+                        if plan.get("warp_xla"):
+                            # The sweep ran on the Pallas kernel but the
+                            # grid→pixel warp used the XLA gather (deep
+                            # handover poses whose per-tile spans exceed
+                            # both factorisation orders' rects) — report
+                            # it so orbit artifacts can't overstate the
+                            # all-Pallas fraction.
+                            self.renderer_counts["pallas_xla_warp"] = (
+                                self.renderer_counts.get(
+                                    "pallas_xla_warp", 0) + 1)
                         return out
                     except Exception as e:  # pragma: no cover - infra flake
                         # The remote Mosaic compile service occasionally
