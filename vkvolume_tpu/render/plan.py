@@ -322,6 +322,15 @@ def grid_unit_spans(view: dict, plan: dict):
     sy, sx = view["_step_y"], view["_step_x"]
     cu = plan.get("cu", 0.0) or 0.0
     cv = plan.get("cv", 0.0) or 0.0
+    if cu == 0.0 and cv == 0.0:
+        # Uniform grid: ξ is affine in w, so the per-tile ξ-span is EXACTLY
+        # the per-tile w-span (already windowed by analyze_view on this
+        # same lattice, same margins) divided by the cell size — skip the
+        # lattice windowing entirely (the host plan runs per fresh pose on
+        # the orbit path; this is its hottest call).
+        return (view["span_wu"] / plan["dwu"],
+                view["span_wv"] / plan["dwv"],
+                view["span_wv_t"] / plan["dwv"])
     with np.errstate(divide="ignore", invalid="ignore"):
         gxl = mobius_inverse_np(wu, plan["wu0"], plan["dwu"], cu)
         gyl = mobius_inverse_np(wv, plan["wv0"], plan["dwv"], cv)
@@ -343,30 +352,25 @@ def tile_span_from_lattice(a: np.ndarray, th: int, tw: int) -> float:
     orbit's host-plan path — the windowed np.ix_ loop it replaces cost
     ~4 ms per call at full-image lattices)."""
     R, C = a.shape
-    pad_r = (-(R - 1) % th) if R > 1 else th
-    pad_c = (-(C - 1) % tw) if C > 1 else tw
-    ap = np.pad(a, ((0, pad_r + 1), (0, pad_c + 1)), mode="edge")
+    nr = max(1, -(-(R - 1) // th))
+    nc = max(1, -(-(C - 1) // tw))
     # Edge-padding repeats the last sample, which matches the clamped
-    # indices of the replaced loop.
+    # indices of the original windowed loop.
+    ap = np.pad(a, ((0, nr * th + 1 - R), (0, nc * tw + 1 - C)),
+                mode="edge")
 
-    def win(arr, fn, w, axis):
-        """out[i] = fn over arr[i : i+w] along axis (log-doubling)."""
-        r = arr
-        span = 1
-        while span < w:
-            step = min(span, w - span)
-            n = r.shape[axis] - step
-            sl_a = [slice(None)] * r.ndim
-            sl_b = [slice(None)] * r.ndim
-            sl_a[axis] = slice(0, n)
-            sl_b[axis] = slice(step, step + n)
-            r = fn(r[tuple(sl_a)], r[tuple(sl_b)])
-            span += step
-        return r
+    def tiled(fn):
+        """Aligned (th+1)×(tw+1)-corner tile reduction in ONE pass per
+        axis: block-reduce the th×tw core, then fold in the shared last
+        row/column of each tile (np.fmax/fmin ignore NaN)."""
+        rows = fn.reduce(
+            ap[:, : nc * tw].reshape(-1, nc, tw), axis=2)
+        rows = fn(rows, ap[:, tw:: tw][:, :nc])
+        out = fn.reduce(
+            rows[: nr * th].reshape(nr, th, nc), axis=1)
+        return fn(out, rows[th:: th][:nr])
 
-    mx = win(win(ap, np.fmax, tw + 1, 1), np.fmax, th + 1, 0)[::th, ::tw]
-    mn = win(win(ap, np.fmin, tw + 1, 1), np.fmin, th + 1, 0)[::th, ::tw]
-    sp = mx - mn
+    sp = tiled(np.fmax) - tiled(np.fmin)
     sp = sp[np.isfinite(sp)]
     return float(sp.max()) if sp.size else 0.0
 

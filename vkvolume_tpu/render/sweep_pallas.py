@@ -923,7 +923,17 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
             return pl_u
         return pl_m if cost(pl_m) < cost(pl_u) else pl_u
 
-    best = None
+    def proxy(view, ax):
+        # Grid-cell estimate (incl. kernel-cap-forced refinement) from the
+        # view stats alone — orders candidates WITHOUT planning them (a
+        # full plan costs ~20-35 ms host-side; near the handover the
+        # largest-|mean| axis is routinely 4-5x the runner-up, so planning
+        # in |mean| order wastes the expensive plan).
+        est = plan_from_stats(view, uniforms, ax, shape_for(ax), height,
+                              width, max_oversample, size_only=True)
+        return float("inf") if est is None else est
+
+    cands = []
     for ax, sgn_ax in view0.get("unmixed_axes") or [(view0["p_axis"],
                                                      view0["sgn"])]:
         view = (view0 if ax == view0["p_axis"]
@@ -931,16 +941,21 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
                                            restrict=(ax, sgn_ax)))
         if view is None or view.get("mixed"):
             continue
+        cands.append((proxy(view, ax), ax, view))
+    cands.sort(key=lambda t: t[0])
+
+    best = None
+    for _, ax, view in cands:
         pl = plan_axis(view, ax)
         if pl is None:
             continue
         if best is None or cost(pl) < cost(best[1]):
             best = (view, pl)
         # A bricked Pallas-warp plan in this cost class is already near
-        # the frame-cost floor — skip the runner-up axes (each costs a
-        # full host analysis + plan, ~8 ms; candidates arrive |mean|-first,
-        # so the first is the aligned-band winner almost always).
-        if cost(best[1]) < 24e6:
+        # the frame-cost floor — skip the runner-up axes (candidates are
+        # smallest-proxy-first, so the first feasible plan is almost
+        # always the winner).
+        if cost(best[1]) < 24e6 and not best[1].get("warp_xla"):
             break
     if best is None:
         return view0, None
@@ -999,7 +1014,8 @@ def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):
 
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     height: int, width: int, max_oversample: float = 2.5,
-                    force: dict | None = None, mobius: bool | None = None):
+                    force: dict | None = None, mobius: bool | None = None,
+                    size_only: bool = False):
     """Grid sizing + static kernel parameters from the view statistics.
 
     Searches over a grid-coarsening factor: diagonal views (|wu| → large)
@@ -1070,6 +1086,13 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     if not all(np.isfinite(v) and v > 0
                for v in (Wi_q, Hi_q, cap_fp_u, cap_fp_v)):
         return None
+    if size_only:
+        # Cheap grid-cell estimate for candidate-axis ordering
+        # (select_view_plan): the kernel footprint caps can force a grid
+        # far FINER than the pixel-matched quality size — near the axis
+        # handover that refinement, not quality, is what explodes the cost.
+        return (max(Wi_q, rng_u / cap_fp_u)
+                * max(Hi_q, rng_v / cap_fp_v))
 
     def _capped_ends(rng, f_lo, f_hi, fs, cap):
         """End footprints scaled by coarsening ``fs`` and clamped at the
