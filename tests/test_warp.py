@@ -131,3 +131,43 @@ def test_plan_prefers_better_conditioned_variant():
     total = sum(counts.values())
     assert counts["xla"] / total < 0.2, counts
     assert "B" in variants, counts
+
+
+def test_full_source_rect_covers_any_span():
+    """resample_rows at RECT == Ws (plan._pick_rect's frozen-orbit rescue):
+    the aligned DMA base is pinned at 0 and the window covers every source
+    column, so positions spanning the WHOLE source inside one tile — far
+    beyond the usual RECT - 132 feasibility bound — must still resample
+    exactly. Runs the real kernel under the Pallas interpreter."""
+    rng = np.random.default_rng(7)
+    C, Hs, Ws = 3, 16, 384
+    src = rng.random((C, Hs, Ws), np.float32)
+    # Per-tile spans ~Ws: positions jump across the full source width
+    # within every 8x128 tile.
+    pos = rng.uniform(0.0, Ws - 1.0, (Hs, 128)).astype(np.float32)
+    pos[3, 40:60] = -10.0                      # masked pixels → 0
+    out = np.asarray(wp.resample_rows(
+        jnp.asarray(src), jnp.asarray(pos), RECT=Ws, interpret=True))
+    ref = np.asarray(wp._resample_rows_reference(
+        jnp.asarray(src), jnp.asarray(pos)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_pick_rect_full_source_rescue():
+    """_pick_rect: spans past cap - 132 are infeasible unforced, but the
+    frozen-orbit path may use the full (lane-aligned) source width, which
+    covers any span."""
+    # Ordinary sizing unchanged.
+    assert plan_mod._pick_rect(500.0, 5376) == 1024
+    # Unforced: over-cap span → infeasible.
+    assert plan_mod._pick_rect(5000.0, 5376) is None
+    assert plan_mod._pick_rect(3900.0, 5376) == 4096
+    # Forced (frozen orbit): full-source rect accepts any span when the
+    # width is lane-aligned; quantised sizing still applies below it.
+    assert plan_mod._pick_rect(5000.0, 5376, allow_full_src=True) == 5376
+    assert plan_mod._pick_rect(5300.0, 5376, allow_full_src=True) == 5376
+    # Non-lane-aligned width: no full-source rect, over-cap span stays
+    # infeasible.
+    assert plan_mod._pick_rect(5300.0, 5390, allow_full_src=True) is None
+    assert plan_mod._pick_rect(1747.0, 1152, allow_full_src=True) == 1152
+    assert plan_mod._pick_rect(4000.0, 5376, allow_full_src=True) == 4608

@@ -114,7 +114,8 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                 if plan_f is None:
                     continue
                 tp = plan_mod.two_pass_warp_plan(
-                    u, p, height, width, plan_f, view, only_variant=wv)
+                    u, p, height, width, plan_f, view, only_variant=wv,
+                    allow_full_src=True)
                 if tp is not None:
                     needs.append((tp["RECT_A"], tp["RECT_B"]))
             if needs:
@@ -189,6 +190,37 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             env = envelope(key, subset)
             if env is not None and env not in tiers:
                 tiers.append(env)
+        # Cross-band rect repair: a pose whose OWN band's tier rejects its
+        # grid (quality/brick re-check) lands on a LARGER tier at orbit
+        # time — where its warp spans, scaled by the bigger grid, can
+        # exceed rects the tier's own band sized (the 3 remaining ~100 ms
+        # XLA-warp orbit poses). Walk each pose to the first tier that
+        # accepts its grid and grow that tier's rects to the pose's need
+        # (clamped at the full-source caps — wider rects only widen
+        # coverage for the band's other poses).
+        for pl_e, u_e, view_e in entries:
+            for t in tiers:
+                cand = sp.plan_from_stats(view_e, u_e, key[0],
+                                          vol_t_shape(key[0]),
+                                          height, width, force=t)
+                if cand is None:
+                    continue
+                if not cand.get("warp_xla"):
+                    break
+                wv_t = t.get("warp_variant")
+                if wv_t is None or t.get("RECT_A") is None:
+                    continue
+                tp = plan_mod.two_pass_warp_plan(
+                    u_e, key[0], height, width, cand, view_e,
+                    only_variant=wv_t, allow_full_src=True)
+                if tp is None:
+                    continue
+                cap_a = ((t["Hi"] if wv_t == "B" else t["Wi"]) // 128) * 128
+                cap_b = ((t["Wi"] if wv_t == "B" else t["Hi"]) // 128) * 128
+                if tp["RECT_A"] <= cap_a and tp["RECT_B"] <= cap_b:
+                    t["RECT_A"] = max(t["RECT_A"], tp["RECT_A"])
+                    t["RECT_B"] = max(t["RECT_B"], tp["RECT_B"])
+                    break
         if tiers:
             force[key] = tiers
     eng.plan_force = force

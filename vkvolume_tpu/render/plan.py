@@ -448,16 +448,26 @@ def pass_b1_positions_np(hc: np.ndarray, plan: dict, xg: np.ndarray,
     return yb, jhat
 
 
-def _pick_rect(span, src_width, quantum: int = 512):
+def _pick_rect(span, src_width, quantum: int = 512,
+               allow_full_src: bool = False):
     """Rect width covering ``span`` + alignment/tent margins, quantised
     coarsely (each distinct rect is a jit specialisation — 512 steps keep
     the orbit's specialisation count small). The row-aligned rect is
-    (C, 8, RECT) in VMEM — wide windows are cheap; the rect must never
-    exceed the source row width (the DMA would read out of bounds — a
-    device fault, not an error)."""
+    (C, 8, RECT) in VMEM — wide windows are cheap (a (4, 8, 6144) u16 rect
+    is 384 KB); the rect must never exceed the source row width (the DMA
+    would read out of bounds — a device fault, not an error).
+
+    ``allow_full_src``: when the rect covers the WHOLE source row (possible
+    only when the width is lane-aligned), the aligned DMA base is pinned at
+    0 and every source index lies inside the window — feasible for ANY
+    span. Enabled only on the frozen-orbit (forced) path, where the tier's
+    larger grid scales this pose's pass-A span past the cap (previously
+    the ~100 ms XLA-warp band); the unforced per-pose search keeps the cap
+    so plan costs (and hence tier banding) stay unchanged."""
     if not np.isfinite(span):
         return None
-    cap = min(4096, (int(src_width) // 128) * 128)
+    src = int(src_width)
+    cap = min(6144 if allow_full_src else 4096, (src // 128) * 128)
     rect = -(-int(span + 132.0) // quantum) * quantum
     rect = max(rect, 256)
     if rect > cap:
@@ -465,13 +475,16 @@ def _pick_rect(span, src_width, quantum: int = 512):
         # aligned base wastes at most 127 + tent margin).
         rect = cap
         if span > cap - 132.0:
+            if allow_full_src and cap == src:
+                return cap
             return None
     return rect
 
 
 def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
                        plan: dict, view: dict,
-                       only_variant: str | None = None) -> dict | None:
+                       only_variant: str | None = None,
+                       allow_full_src: bool = False) -> dict | None:
     """Feasibility + rect widths for the two-pass projective warp; None →
     caller uses the single-pass warp.
 
@@ -514,8 +527,8 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
         if ok.any():
             xa = np.where(ok, xa, np.nan)
             span_a = 1.15 * tile_span_from_lattice(xa, 1, 16)
-            ra = _pick_rect(span_a, Wi)
-            rb = _pick_rect(span_gy_t_g, Hi)
+            ra = _pick_rect(span_a, Wi, allow_full_src=allow_full_src)
+            rb = _pick_rect(span_gy_t_g, Hi, allow_full_src=allow_full_src)
             if ra is not None and rb is not None:
                 cands.append(("A", ra, rb))
 
@@ -527,8 +540,8 @@ def two_pass_warp_plan(u, p_axis: int, height: int, width: int,
         if okb.any():
             yb = np.where(okb, yb, np.nan)
             span_1 = 1.15 * tile_span_from_lattice(yb, 1, 16)
-            r1 = _pick_rect(span_1, Hi)
-            r2 = _pick_rect(span_gx_g, Wi)
+            r1 = _pick_rect(span_1, Hi, allow_full_src=allow_full_src)
+            r2 = _pick_rect(span_gx_g, Wi, allow_full_src=allow_full_src)
             if r1 is not None and r2 is not None:
                 cands.append(("B", r1, r2))
 

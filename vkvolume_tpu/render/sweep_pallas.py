@@ -1186,7 +1186,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         if force.get("RECT_A") is not None and "span_wv_t" in st:
             tp = plan_mod.two_pass_warp_plan(
                 uniforms, p_axis, height, width, plan, st,
-                only_variant=force.get("warp_variant", "A"))
+                only_variant=force.get("warp_variant", "A"),
+                allow_full_src=True)
             if (tp is not None and tp["RECT_A"] <= force["RECT_A"]
                     and tp["RECT_B"] <= force["RECT_B"]):
                 plan.update(tp)

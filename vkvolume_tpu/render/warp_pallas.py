@@ -236,15 +236,20 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
             out_ref[c, :, :] = val
 
 
-@functools.partial(jax.jit, static_argnames=("RECT", "encode_out"))
+@functools.partial(jax.jit,
+                   static_argnames=("RECT", "encode_out", "interpret"))
 def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
-                  encode_out: bool = False) -> jax.Array:
+                  encode_out: bool = False,
+                  interpret: bool = False) -> jax.Array:
     """Row-aligned 1-D resample: out[c, y, x] = lerp(src[c, y, pos[y, x]]).
 
     ``pos`` is (Ho, Wo) with Ho == src rows; Ho % 8 == 0, Wo % 128 == 0.
-    pos < -5 → 0 (mask). Per-tile column span must fit RECT - 132.
-    ``src_chw`` may be uint16 (encoded values); ``encode_out`` keeps the
-    output uint16-encoded as well."""
+    pos < -5 → 0 (mask). Per-tile column span must fit RECT - 132 — except
+    at RECT == Ws (the full-source rect, plan._pick_rect's frozen-orbit
+    rescue), where the window covers every source column and ANY span is
+    valid. ``src_chw`` may be uint16 (encoded values); ``encode_out``
+    keeps the output uint16-encoded as well. ``interpret`` runs the real
+    kernel under the Pallas interpreter (tests)."""
     C, Hs, Ws = src_chw.shape
     Ho, Wo = pos.shape
     assert Ho == Hs, (Ho, Hs)
@@ -270,6 +275,7 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
         kern,
         out_shape=jax.ShapeDtypeStruct((C, Ho, Wo), out_dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(meta, pos, src_chw)
 
 
