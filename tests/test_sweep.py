@@ -337,3 +337,25 @@ def test_brick_texture_tf_matches_xla_texture_path():
                           p_axis=p, ert=True, interpret=True,
                           dist_leap=True, texture_tf=False)
     assert np.abs(np.asarray(out_cf.color) - got).max() > 1e-5
+
+
+@pytest.mark.parametrize("prec", ["high", "default"])
+def test_brick_tent_precision_knob(prec):
+    """tent_prec threads through to the tent dot (bench A/B knob): reduced
+    MXU precision must trace/run and stay within u8-class tolerance of the
+    HIGHEST-precision render (exact on CPU where dots are true f32; on
+    device "high" is bf16x3 — error far below 1 u8 LSB for <=8-significant-
+    bit inputs)."""
+    from vkvolume_tpu.render import sweep_bricks as sb
+
+    vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(25.0)
+    kw = dict(p_axis=p, R=24, ert=True, test=None, count_samples=False,
+              n_slabs=vol_t.shape[0], sgn=1, tile_h=8, span_blks=2,
+              interpret=True, dist_leap=True)
+    ref = sb._sweep_bricks_jit(vol_t, dist_t, tf, rays, u, pvm, None,
+                               tent_prec="highest", **kw)
+    out = sb._sweep_bricks_jit(vol_t, dist_t, tf, rays, u, pvm, None,
+                               tent_prec=prec, **kw)
+    r = np.asarray(ref.color)
+    assert r[..., 3].max() > 0.3
+    assert np.abs(np.asarray(out.color) - r).max() < 2.0 / 255.0

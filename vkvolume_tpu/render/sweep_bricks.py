@@ -32,6 +32,7 @@ sweep_pallas._kernel as the correctness twin / fallback.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +61,8 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             lum_ref, alpha_ref, firsts_ref, nsamp_ref,           # outputs
             scratch, sems, gscratch, gsems,
             *, R, PLANES, ert, count_samples, use_gradient, sgn, aligned,
-            tile_h, n_slabs, span_blks, texture_tf=False):
+            tile_h, n_slabs, span_blks, texture_tf=False,
+            tent_prec=jax.lax.Precision.HIGHEST):
     f = jnp.float32
     Np = meta_ref[0]
     Sv = meta_ref[1]
@@ -95,6 +97,14 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
     s_hi = shi_ref[:]
     kappa = kap_ref[:]
     cov = cov_ref[:] > 0.0
+    # Separable w-grid: wu is column-only (identical rows) and wv is
+    # row-only (identical columns) — the per-slab u math runs on ONE 8-row
+    # block and the v math on one column (4× fewer vreg ops per slab at
+    # 32-row tiles than full-tile arithmetic; the lane gather only ever
+    # consumed rows [0:8] anyway).
+    wu8 = wu[0:8, :]
+    wv_col = wv[:, 0:1]
+    cov_row = jnp.any(cov, axis=1, keepdims=True)        # (tile_h, 1)
 
     big = f(1e30)
     s_lo_t = jnp.min(jnp.where(cov, s_lo, big))
@@ -387,9 +397,9 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 if ert:
                     in_rng = in_rng & (alpha <= 0.99)
 
-                qu = (o_u + wu * t) * Su.astype(f) - 0.5
-                qv = jnp.clip((o_v + wv * t) * Sv.astype(f) - 0.5,
-                              0.0, Sv.astype(f) - 1.0)
+                qu = (o_u + wu8 * t) * Su.astype(f) - 0.5      # (8, 128)
+                qv = jnp.clip((o_v + wv_col * t) * Sv.astype(f) - 0.5,
+                              0.0, Sv.astype(f) - 1.0)         # (tile_h, 1)
                 iu0 = jnp.clip(jnp.floor(qu).astype(jnp.int32), 0, Su - 1)
                 iu1 = jnp.minimum(iu0 + 1, Su - 1)
                 fu = jnp.clip(qu - jnp.floor(qu), 0.0, 1.0)
@@ -400,7 +410,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 fu = jnp.where(iu1 > iu0, fu, 0.0)
                 il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
 
-                qv_min_t = jnp.min(jnp.where(cov, qv, f(1e30)))
+                qv_min_t = jnp.min(jnp.where(cov_row, qv, f(1e30)))
                 r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - v0a
                 r_base8 = jnp.clip((r_lo // 8) * 8, 0,
                                    jnp.int32(R - 8 * span_blks))
@@ -419,10 +429,10 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 r_glob = (jax.lax.broadcasted_iota(
                     jnp.int32, (tile_h, 8 * span_blks), 1)
                     + v0a + r_base8).astype(f)
-                what = jnp.maximum(0.0, 1.0 - jnp.abs(qv[:, 0:1] - r_glob))
+                what = jnp.maximum(0.0, 1.0 - jnp.abs(qv - r_glob))
                 intensity = jax.lax.dot_general(
                     what, colu, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=tent_prec,
                     preferred_element_type=f,
                 ) * f(1.0 / 255.0)
 
@@ -444,7 +454,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                                         r_base8)
                     gradient = jax.lax.dot_general(
                         what, gcolu, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=tent_prec,
                         preferred_element_type=f,
                     ) * f(1.0 / 255.0)
                     if texture_tf:
@@ -562,18 +572,27 @@ def grid_fields(u: FrameUniforms, wu_g, wv_g, sgn, p_axis, dim_max,
     jax.jit,
     static_argnames=("p_axis", "R", "ert", "test", "count_samples",
                      "n_slabs", "interpret", "dist_leap", "sgn", "tile_h",
-                     "span_blks", "texture_tf"),
+                     "span_blks", "texture_tf", "tent_prec"),
 )
 def _sweep_bricks_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
     proj_view_model, grad_t=None, grid=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, sgn, tile_h=16,
     span_blks=2, interpret=False, dist_leap=False, texture_tf=False,
+    tent_prec=None,
 ):
     """Brick-kernel twin of sweep_pallas._sweep_pallas_jit (separable w-grid
     rays only; ``sgn`` — the slab iteration direction — is static).
     ``grid`` = (wu, wv, s_lo, s_hi, kappa, covered) precomputed w-grid
-    fields (see grid_fields) — ``rays`` is then unused (pass None)."""
+    fields (see grid_fields) — ``rays`` is then unused (pass None).
+
+    ``tent_prec``: MXU precision of the tent-weight dot ("highest" = 6
+    bf16 passes, "high" = 3, "default" = 1). None reads
+    VKV_TENT_PRECISION once at trace time (bench A/B knob — an env change
+    after the first trace in a process does NOT retrace). The tent inputs
+    are ≤ 8 significant bits each (u8 texels lerped once, weights in
+    [0, 1]), so "high" is exact to far below 1 u8 LSB; "default" can err
+    ~0.5 LSB of intensity."""
     f = jnp.float32
     H, W = (grid[0].shape if grid is not None else rays.valid.shape)
     Np, Sv, Su = vol_t.shape
@@ -691,12 +710,19 @@ def _sweep_bricks_jit(
     grid = (H // tile_h, W // TILE_W)
     tile_map = lambda ty, tx, *_: (ty, tx)
 
+    if tent_prec is None:
+        tent_prec = os.environ.get("VKV_TENT_PRECISION", "highest")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[tent_prec]
+
     kern = functools.partial(
         _kernel, R=R, PLANES=PLANES, ert=ert,
         count_samples=count_samples or test == Test.NUM_TEXTURE_SAMPLES,
         use_gradient=use_gradient, sgn=1 if sgn > 0 else -1,
         aligned=aligned, tile_h=tile_h, n_slabs=n_slabs,
-        span_blks=min(span_blks, R // 8), texture_tf=texture_tf)
+        span_blks=min(span_blks, R // 8), texture_tf=texture_tf,
+        tent_prec=prec)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
