@@ -359,3 +359,25 @@ def test_brick_tent_precision_knob(prec):
     r = np.asarray(ref.color)
     assert r[..., 3].max() > 0.3
     assert np.abs(np.asarray(out.color) - r).max() < 2.0 / 255.0
+
+
+@pytest.mark.parametrize("rect_w", [384, 512])
+def test_brick_wide_rect_matches_default(rect_w):
+    """rect_w = 384/512 (the plan's cap-relief rescue for kernel-cap-
+    inflated grids) must sample identically to the 256-lane rect — only
+    the window/DMA geometry changes, never the sampled values."""
+    from vkvolume_tpu.render import sweep_bricks as sb
+
+    vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(25.0)
+    kw = dict(p_axis=p, R=24, ert=True, test=None, count_samples=False,
+              n_slabs=vol_t.shape[0], sgn=1, tile_h=8, span_blks=2,
+              interpret=True, dist_leap=True)
+    ref = sb._sweep_bricks_jit(vol_t, dist_t, tf, rays, u, pvm, None,
+                               rect_w=256, **kw)
+    out = sb._sweep_bricks_jit(vol_t, dist_t, tf, rays, u, pvm, None,
+                               rect_w=rect_w, **kw)
+    r = np.asarray(ref.color)
+    assert r[..., 3].max() > 0.3
+    np.testing.assert_allclose(np.asarray(out.color), r, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(ref.depth), atol=1e-6)

@@ -84,13 +84,14 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             tile_h = min(pl["tile_h"] for pl in kept)
             span_blks = max(pl["span_blks"] for pl in kept)
             R_brick = max(max(pl["R_brick"] for pl in kept), 8 * span_blks)
+            rect_w = max(pl.get("rect_w", 256) for pl in kept)
         else:
             # No brick-capable pose in this band (deep handover poses):
             # envelope the per-slab kernel statics instead of dropping the
             # band (a dropped band = one fresh mid-orbit Mosaic compile
             # per pose — the round-2 orbit failure mode).
             kept = [pl for pl, _, _ in entries]
-            tile_h, R_brick, span_blks = 8, None, 2
+            tile_h, R_brick, span_blks, rect_w = 8, None, 2, 256
         Hi = max(pl["Hi"] for pl in kept)
         Wi = max(pl["Wi"] for pl in kept)
         R_sweep = max(pl["R_sweep"] for pl in kept)
@@ -104,8 +105,9 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
         ra = rb = None
         if wv is not None:
             dims = dict(Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
-                        span_blks=span_blks, R_sweep=R_sweep, R_warp=None,
-                        RECT_A=None, RECT_B=None, warp_variant=wv)
+                        span_blks=span_blks, rect_w=rect_w, R_sweep=R_sweep,
+                        R_warp=None, RECT_A=None, RECT_B=None,
+                        warp_variant=wv)
             needs = []
             for pl, u, view in entries:
                 p = key[0]
@@ -135,8 +137,9 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
         rw = None
         if Wi >= _WP_RECT_W:
             dims = dict(Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
-                        span_blks=span_blks, R_sweep=R_sweep, R_warp=None,
-                        RECT_A=None, RECT_B=None, warp_variant=None)
+                        span_blks=span_blks, rect_w=rect_w, R_sweep=R_sweep,
+                        R_warp=None, RECT_A=None, RECT_B=None,
+                        warp_variant=None)
             needs = []
             for pl, u, view in entries:
                 plan_f = sp.plan_from_stats(view, u, key[0],
@@ -162,7 +165,7 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                         break
         return dict(
             Hi=Hi, Wi=Wi, tile_h=tile_h, R_brick=R_brick,
-            span_blks=span_blks, R_sweep=R_sweep,
+            span_blks=span_blks, rect_w=rect_w, R_sweep=R_sweep,
             R_warp=rw, RECT_A=ra, RECT_B=rb, warp_variant=wv,
         )
 
@@ -208,18 +211,26 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                 if not cand.get("warp_xla"):
                     break
                 wv_t = t.get("warp_variant")
-                if wv_t is None or t.get("RECT_A") is None:
-                    continue
                 tp = plan_mod.two_pass_warp_plan(
                     u_e, key[0], height, width, cand, view_e,
                     only_variant=wv_t, allow_full_src=True)
                 if tp is None:
                     continue
-                cap_a = ((t["Hi"] if wv_t == "B" else t["Wi"]) // 128) * 128
-                cap_b = ((t["Wi"] if wv_t == "B" else t["Hi"]) // 128) * 128
+                wv_p = tp["warp_variant"]
+                cap_a = ((t["Hi"] if wv_p == "B" else t["Wi"]) // 128) * 128
+                cap_b = ((t["Wi"] if wv_p == "B" else t["Hi"]) // 128) * 128
                 if tp["RECT_A"] <= cap_a and tp["RECT_B"] <= cap_b:
-                    t["RECT_A"] = max(t["RECT_A"], tp["RECT_A"])
-                    t["RECT_B"] = max(t["RECT_B"], tp["RECT_B"])
+                    if wv_t is None:
+                        # The tier's own band had no two-pass poses at all
+                        # — adopt this pose's variant (per-pose re-checks
+                        # still gate every other pose).
+                        t["warp_variant"] = wv_p
+                        t["RECT_A"], t["RECT_B"] = tp["RECT_A"], tp["RECT_B"]
+                    elif wv_p == wv_t:
+                        t["RECT_A"] = max(t["RECT_A"], tp["RECT_A"])
+                        t["RECT_B"] = max(t["RECT_B"], tp["RECT_B"])
+                    else:
+                        continue
                     break
         if tiers:
             force[key] = tiers

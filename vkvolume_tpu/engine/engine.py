@@ -759,6 +759,7 @@ class Engine:
                     spec_key = (plan["Hi"], plan["Wi"], plan["R_sweep"],
                                 plan["R_warp"], plan.get("tile_h"),
                                 plan.get("R_brick"), plan.get("span_blks"),
+                                plan.get("rect_w", 256),
                                 plan["RECT_A"], plan["RECT_B"],
                                 plan.get("warp_variant"), p, plan["sgn_p"],
                                 height, width, self.options.test,
@@ -798,6 +799,7 @@ class Engine:
                             tile_h=plan.get("tile_h", 8),
                             R_brick=plan.get("R_brick"),
                             span_blks=plan.get("span_blks", 2),
+                            rect_w=plan.get("rect_w", 256),
                             texture_tf=self.options.texture_tf,
                             warp_variant=plan.get("warp_variant", "A"),
                         )

@@ -250,6 +250,7 @@ def render_frame_sharded(
         dist_leap=dist_leap, RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
         tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
         span_blks=plan.get("span_blks", 2),
+        rect_w=plan.get("rect_w", 256),
         warp_variant=plan.get("warp_variant", "A"),
         n_shards=n, axis_name=RAY_AXIS,
     )

@@ -62,7 +62,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
             scratch, sems, gscratch, gsems,
             *, R, PLANES, ert, count_samples, use_gradient, sgn, aligned,
             tile_h, n_slabs, span_blks, texture_tf=False,
-            tent_prec=jax.lax.Precision.HIGHEST):
+            tent_prec=jax.lax.Precision.HIGHEST, rect_w=RECT_W):
     f = jnp.float32
     Np = meta_ref[0]
     Sv = meta_ref[1]
@@ -170,7 +170,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
         qu_lo, _, qv_lo, _ = qu_bounds2(k1, k2)
         u0 = jnp.floor(qu_lo).astype(jnp.int32)
         v0 = jnp.floor(qv_lo).astype(jnp.int32)
-        u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Su_pad - RECT_W, 0))
+        u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Su_pad - rect_w, 0))
         v0a = jnp.clip((v0 // 8) * 8, 0, jnp.maximum(Sv_pad - R, 0))
         p0 = jnp.clip(k0_of(k1), 0, Np - PLANES)
         return p0, v0a, u0a
@@ -269,7 +269,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
         v0a = pl.multiple_of(v0a, 8)
         u0a = pl.multiple_of(u0a, 128)
         return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(p0, PLANES), pl.ds(v0a, R), pl.ds(u0a, RECT_W)],
+            vol_ref.at[pl.ds(p0, PLANES), pl.ds(v0a, R), pl.ds(u0a, rect_w)],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -279,7 +279,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
         v0a = pl.multiple_of(v0a, 8)
         u0a = pl.multiple_of(u0a, 128)
         return pltpu.make_async_copy(
-            grad_ref.at[pl.ds(p0, PLANES), pl.ds(v0a, R), pl.ds(u0a, RECT_W)],
+            grad_ref.at[pl.ds(p0, PLANES), pl.ds(v0a, R), pl.ds(u0a, rect_w)],
             gscratch.at[slot],
             gsems.at[slot],
         )
@@ -366,14 +366,14 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                         shift, scale = 16, f(1.0 / 256.0)
                     else:
                         shift, scale = 8, f(1.0)
-                    nxt = pltpu.roll(rows, RECT_W - 1, axis=1)
+                    nxt = pltpu.roll(rows, rect_w - 1, axis=1)
                     packed = rows | (nxt << shift)
                     halves = tuple(packed[:, 128 * h:128 * (h + 1)]
-                                   for h in range(RECT_W // 128))
+                                   for h in range(rect_w // 128))
 
                     g = jnp.take_along_axis(
                         halves[0], jnp.minimum(il8, 127), axis=1)
-                    for h in range(1, RECT_W // 128):
+                    for h in range(1, rect_w // 128):
                         g = jnp.where(
                             il8 < 128 * h, g,
                             jnp.take_along_axis(
@@ -408,7 +408,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 # texel instead, so zero the lerp weight (exact: the old
                 # two-gather path produced g1 == g0 there).
                 fu = jnp.where(iu1 > iu0, fu, 0.0)
-                il0 = jnp.clip(iu0 - u0a, 0, RECT_W - 1)
+                il0 = jnp.clip(iu0 - u0a, 0, rect_w - 1)
 
                 qv_min_t = jnp.min(jnp.where(cov_row, qv, f(1e30)))
                 r_lo = jnp.floor(qv_min_t).astype(jnp.int32) - v0a
@@ -572,14 +572,15 @@ def grid_fields(u: FrameUniforms, wu_g, wv_g, sgn, p_axis, dim_max,
     jax.jit,
     static_argnames=("p_axis", "R", "ert", "test", "count_samples",
                      "n_slabs", "interpret", "dist_leap", "sgn", "tile_h",
-                     "span_blks", "texture_tf", "tent_prec"),
+                     "span_blks", "texture_tf", "tent_prec",
+                     "rect_w"),
 )
 def _sweep_bricks_jit(
     vol_t, occupancy_t, tf: TFParams, rays: RaySetup, uniforms: FrameUniforms,
     proj_view_model, grad_t=None, grid=None,
     *, p_axis, R, ert, test, count_samples, n_slabs, sgn, tile_h=16,
     span_blks=2, interpret=False, dist_leap=False, texture_tf=False,
-    tent_prec=None,
+    tent_prec=None, rect_w=RECT_W,
 ):
     """Brick-kernel twin of sweep_pallas._sweep_pallas_jit (separable w-grid
     rays only; ``sgn`` — the slab iteration direction — is static).
@@ -598,7 +599,7 @@ def _sweep_bricks_jit(
     Np, Sv, Su = vol_t.shape
     v_ax, u_ax = _SLICE_AXES[p_axis]
     Sv_pad = -(-max(Sv, R) // 8) * 8
-    Su_pad = -(-max(Su, RECT_W) // 128) * 128
+    Su_pad = -(-max(Su, rect_w) // 128) * 128
     use_gradient = grad_t is not None and tf.use_gradient
     if (Sv_pad, Su_pad) != (Sv, Su):
         vol_t = jnp.pad(vol_t, ((0, 0), (0, Sv_pad - Sv), (0, Su_pad - Su)))
@@ -722,7 +723,7 @@ def _sweep_bricks_jit(
         use_gradient=use_gradient, sgn=1 if sgn > 0 else -1,
         aligned=aligned, tile_h=tile_h, n_slabs=n_slabs,
         span_blks=min(span_blks, R // 8), texture_tf=texture_tf,
-        tent_prec=prec)
+        tent_prec=prec, rect_w=rect_w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -746,9 +747,9 @@ def _sweep_bricks_jit(
             pl.BlockSpec((tile_h, TILE_W), tile_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NSLOT, PLANES, R, RECT_W), jnp.uint8),
+            pltpu.VMEM((NSLOT, PLANES, R, rect_w), jnp.uint8),
             pltpu.SemaphoreType.DMA((NSLOT,)),
-            pltpu.VMEM((NSLOT, PLANES, R, RECT_W) if use_gradient
+            pltpu.VMEM((NSLOT, PLANES, R, rect_w) if use_gradient
                        else (1, 1, 8, 128), jnp.uint8),
             pltpu.SemaphoreType.DMA((NSLOT,)),
         ],

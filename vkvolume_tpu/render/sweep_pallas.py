@@ -889,19 +889,12 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
     if view0 is None or view0.get("mixed"):
         return view0, None
 
-    def cost(pl):
-        # Grid cells × kernel factor: the brick kernel pays per-tile
-        # control work ∝ 1/tile_h (an 8-row-tile plan measured ~1.25× a
-        # 16-row plan on the same grid); the per-slab kernel ~4-5× the
-        # brick kernel per cell; XLA-gather-warp penalty ~100 ms ≈ the
-        # brick sweep of a 16M-cell grid.
-        if pl.get("R_brick"):
-            c = pl["Hi"] * pl["Wi"] * (1.0 + 6.0 / pl["tile_h"])
-        else:
-            c = 4.0 * pl["Hi"] * pl["Wi"]
-        if pl.get("warp_xla"):
-            c += 16e6
-        return c
+    # Grid cells × kernel factor (see _plan_cost): the brick kernel pays
+    # per-tile control work ∝ 1/tile_h (an 8-row-tile plan measured ~1.25×
+    # a 16-row plan on the same grid); the per-slab kernel ~4-5× the brick
+    # kernel per cell; XLA-gather-warp penalty ~100 ms ≈ the brick sweep
+    # of a 16M-cell grid.
+    cost = _plan_cost
 
     def plan_axis(view, ax):
         # Uniform grid first: away from the axis handover it yields taller
@@ -1054,9 +1047,26 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     wmax_v = max(abs(wv_lo), abs(wv_hi))
     drift_bu = wmax_u * (8.0 / max(Np_s, 1)) * Su
     drift_bv = wmax_v * (8.0 / max(Np_s, 1)) * Sv
-    brick_wanted = (os.environ.get("VKV_NO_BRICK", "0") != "1"
-                    and drift_bu <= 60.0)
-    denom_u = min(120.0, 124.0 - drift_bu) if brick_wanted else 120.0
+    brick_env = os.environ.get("VKV_NO_BRICK", "0") != "1"
+
+    def u_caps(rect_w_c):
+        """(brick_wanted, cap_fp_u) under brick-rect width ``rect_w_c``.
+
+        The brick kernel's per-tile u window (128 pixel lanes × the max
+        per-cell footprint, plus the 8-slab brick drift and DMA alignment
+        margins) must fit the rect; a WIDER static rect (rect_w = 512)
+        relaxes the cap ~3× for views whose uniform grid was cap-inflated
+        far past the pixel-matched quality size (the headline pose sweeps
+        1.9× the quality columns at rect 256). Costs: 2× rect DMA bytes
+        and a 4-half gather chain — the plan charges ~1.35×/cell and
+        keeps the cheaper rect."""
+        bw = brick_env and drift_bu <= (60.0 if rect_w_c == 256 else 240.0)
+        denom = (min(rect_w_c - 136.0, rect_w_c - 132.0 - drift_bu)
+                 if bw else 120.0)
+        return bw, denom / (Su * t_max * TILE_W)
+
+    brick_wanted, cap_fp_u = u_caps(256)
+    denom_u = cap_fp_u * (Su * t_max * TILE_W)
     # End-band footprints (analytic path only) drive the projective grid
     # fit (_mobius_grid_params); missing → uniform grid (f_lo = f_hi).
     q_u = max(st["du_q"], 1e-9)
@@ -1135,6 +1145,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         tile_h = force["tile_h"]
         R_brick = force["R_brick"]
         span_blks = force["span_blks"]
+        rect_w_f = force.get("rect_w", 256)
+        brick_wanted, cap_fp_u = u_caps(rect_w_f)
         cap_v_f = (R_sweep - 10.0) / (8.0 * Sv * t_max)
         if R_brick is not None:
             # Clamp the v-curve's tail to the FORCED brick geometry so the
@@ -1157,12 +1169,13 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
             if (max(8 * span_blks, int(span + drift_bv + 11.0)) > R_brick
                     or sb_need > span_blks
                     or 128.0 * dwu_max * Su * t_max + drift_bu
-                    > RECT_W - 132):
+                    > rect_w_f - 132):
                 return None
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=None,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv,
                     cu=cu_g, cv=cv_g, sgn_p=sgn_p,
                     tile_h=tile_h, R_brick=R_brick, span_blks=span_blks,
+                    rect_w=rect_w_f,
                     RECT_A=None, RECT_B=None, hcoef=None)
         # Per-tile pixel→grid spans, exact under the (projective) grid map
         # when the analysis lattices are available.
@@ -1209,7 +1222,9 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # beats the order-of-magnitude slower XLA fallback.
     cap_w = max(width * max_oversample, 2304.0)
     cap_h = max(height * max_oversample, 1536.0)
-    for f in (1.0, 1.3, 1.7, 2.2, float("inf")):
+
+    def _attempt(rect_w_c, brick_wanted, cap_fp_u):
+      for f in (1.0, 1.3, 1.7, 2.2, float("inf")):
         fs = 1e12 if f == float("inf") else f
         eu = _capped_ends(rng_u, f_lo_u, f_hi_u, fs, cap_fp_u)
         ev = _capped_ends(rng_v, f_lo_v, f_hi_v, fs, cap_fp_v)
@@ -1259,7 +1274,7 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=None,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv,
                     cu=cu_g, cv=cv_g, sgn_p=sgn_p,
-                    tile_h=8, R_brick=None, span_blks=2,
+                    tile_h=8, R_brick=None, span_blks=2, rect_w=rect_w_c,
                     RECT_A=None, RECT_B=None, hcoef=None)
 
         # Single-pass warp rect height from per-tile pixel→grid spans
@@ -1287,7 +1302,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         # control work amortised over 2× the pixels).
         tile_h, R_brick, span_blks = 8, None, 2
         if brick_wanted \
-                and 128.0 * dwu_max * Su * t_max + drift_bu <= RECT_W - 132:
+                and 128.0 * dwu_max * Su * t_max + drift_bu \
+                <= rect_w_c - 132:
             for th in (32, 16, 8):
                 span = th * dwv_max * Sv * t_max
                 sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
@@ -1318,7 +1334,46 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
             # horizon enters the image and both Pallas warps degenerate.
             plan["warp_xla"] = True
             return plan
-    return None
+      return None
+
+    plan = _attempt(256, brick_wanted, cap_fp_u)
+    # Cap-relief rescue (rect_w = 384/512): when the 256-rect grid is
+    # kernel-cap-inflated well past the pixel-matched quality size (the
+    # fitted far-end footprint exceeds the cap — e.g. the headline pose
+    # sweeps 1.9× the quality columns), a wider static brick rect relaxes
+    # the u cap ~2-3×. Keep whichever plan the kernel cost model prefers;
+    # the wider rect only applies to the BRICK kernel (the per-slab
+    # fallback keeps its 256-lane assumptions — _frame_body refuses the
+    # mismatch).
+    if brick_env and Su >= 384 and f_hi_u * 1.05 > cap_fp_u \
+            and (plan is None or plan.get("R_brick") is not None):
+        for rect_c in (384, 512):
+            if Su < rect_c:
+                continue
+            bw_c, cap_c = u_caps(rect_c)
+            if not bw_c:
+                continue
+            p_c = _attempt(rect_c, bw_c, cap_c)
+            if p_c is not None and p_c.get("R_brick") is not None and (
+                    plan is None or _plan_cost(p_c) < _plan_cost(plan)):
+                plan = p_c
+    return plan
+
+
+def _plan_cost(pl):
+    """Relative frame cost of a plan: grid cells × a kernel factor (the
+    brick kernel pays per-tile control work ∝ 1/tile_h; the per-slab
+    kernel ~4-5× the brick kernel per cell; the 512-lane brick rect pays
+    ~1.35×/cell in DMA + gather-chain width; the XLA-gather warp ~100 ms ≈
+    a 16M-cell brick sweep)."""
+    if pl.get("R_brick"):
+        c = pl["Hi"] * pl["Wi"] * (1.0 + 6.0 / pl["tile_h"])
+    else:
+        c = 4.0 * pl["Hi"] * pl["Wi"]
+    c *= 1.0 + 0.35 * (pl.get("rect_w", 256) / 256.0 - 1.0)
+    if pl.get("warp_xla"):
+        c += 16e6
+    return c
 
 
 # ---------------------------------------------------------------------------
@@ -1400,7 +1455,7 @@ def _frame_body(
     interpret=False, dist_leap=False, RECT_A=None, RECT_B=None,
     n_shards=1, axis_name=None, return_chans=False,
     tile_h=8, R_brick=None, span_blks=2, texture_tf=False,
-    height=None, width=None, warp_variant="A",
+    height=None, width=None, warp_variant="A", rect_w=256,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1461,10 +1516,16 @@ def _frame_body(
             p_axis=p_axis, R=R_brick, ert=ert, test=test,
             count_samples=test == Test.NUM_TEXTURE_SAMPLES,
             n_slabs=n_slabs, sgn=1 if sgn_p > 0 else -1, tile_h=tile_h,
-            span_blks=span_blks,
+            span_blks=span_blks, rect_w=rect_w,
             interpret=interpret, dist_leap=dist_leap, texture_tf=texture_tf,
         )
     else:
+        if rect_w > 256:
+            # The grid was cap-sized for a wide brick rect; the per-slab
+            # kernel's 256-lane windows cannot cover it — refuse rather
+            # than sample the wrong texels (engine falls back cleanly).
+            raise PallasUnsupported(
+                "wide-rect plan requires the brick kernel")
         dir_xyz = [None, None, None]
         dir_xyz[p_axis] = jnp.full((Hi_loc, Wi), f(sgn_p))
         dir_xyz[u_ax] = wu_g * f(sgn_p)
@@ -1653,7 +1714,7 @@ _frame_jit = functools.partial(
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
                      "RECT_A", "RECT_B", "return_chans", "tile_h",
                      "R_brick", "span_blks", "texture_tf", "height",
-                     "width", "warp_variant"),
+                     "width", "warp_variant", "rect_w"),
 )(_frame_body)
 
 _pixel_stage_jit = functools.partial(
@@ -1706,6 +1767,7 @@ def render_frame(
         RECT_A=plan["RECT_A"], RECT_B=plan["RECT_B"],
         tile_h=plan.get("tile_h", 8), R_brick=plan.get("R_brick"),
         span_blks=plan.get("span_blks", 2),
+        rect_w=plan.get("rect_w", 256),
         texture_tf=texture_tf,
         warp_variant=plan.get("warp_variant", "A"),
     )
