@@ -1304,11 +1304,18 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         if brick_wanted \
                 and 128.0 * dwu_max * Su * t_max + drift_bu \
                 <= rect_w_c - 132:
+            # Rect heights: 96 rows only up to 384-lane rects — the
+            # (NSLOT, PLANES, R, rect) scratch must stay under the
+            # degraded compile helper's ~2 MB/array ceiling (CLAUDE.md);
+            # 4·9·96·384 = 1.33 MB, 4·9·96·512 would be 1.77 MB and the
+            # 64-row cap already admits every 512-rect plan seen.
+            r_cands = ((16, 24, 32, 48, 64, 96) if rect_w_c <= 384
+                       else (16, 24, 32, 48, 64))
             for th in (32, 16, 8):
                 span = th * dwv_max * Sv * t_max
                 sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
                 need = max(8 * sb, int(span + drift_bv + 11.0))
-                fit = [c for c in (16, 24, 32, 48, 64) if need <= c]
+                fit = [c for c in r_cands if need <= c]
                 if fit and Hi % th == 0:
                     tile_h, R_brick, span_blks = th, fit[0], sb
                     break
@@ -1346,8 +1353,7 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # fallback keeps its 256-lane assumptions — _frame_body refuses the
     # mismatch).
     max_rect = int(os.environ.get("VKV_MAX_RECT", "512"))
-    if brick_env and Su >= 384 and f_hi_u * 1.05 > cap_fp_u \
-            and (plan is None or plan.get("R_brick") is not None):
+    if brick_env and Su >= 384 and f_hi_u * 1.05 > cap_fp_u:
         for rect_c in (384, 512):
             if Su < rect_c or rect_c > max_rect:
                 continue
