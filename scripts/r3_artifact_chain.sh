@@ -11,7 +11,7 @@ LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
 smoke_done()       { [ -s /tmp/r3_smoke.json ] && \
-                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 6 ]; }
+                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 7 ]; }
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }
 orbit_done()       { [ -s /tmp/orbit_r3_new.json ]; }
 interactive_done() { [ -s docs/interactive_r3.json ]; }
@@ -21,7 +21,8 @@ parity_done() {
 
 rect_guard() {
   # If a wide brick rect failed its device smoke, pin the plans to the
-  # proven 256-lane geometry (or 384 when only 512 failed).
+  # proven 256-lane geometry (or 384 when only 512 failed); a failed
+  # 96-row rect pins the rect height at the proven 64.
   if smoke_done; then
     if grep -q '"brick_rect512": "ok"' /tmp/r3_smoke.json; then
       unset VKV_MAX_RECT
@@ -29,6 +30,11 @@ rect_guard() {
       export VKV_MAX_RECT=384
     else
       export VKV_MAX_RECT=256
+    fi
+    if grep -q '"brick_rect384_r96": "ok"' /tmp/r3_smoke.json; then
+      unset VKV_MAX_BRICK_R
+    else
+      export VKV_MAX_BRICK_R=64
     fi
   fi
 }

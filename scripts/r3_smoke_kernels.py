@@ -87,11 +87,11 @@ def _brick_inputs():
     return sb, vol_t, occ_t, tf, u, pvm, grid, Np
 
 
-def brick(rect_w, tent_prec="highest", tile_h=16):
+def brick(rect_w, tent_prec="highest", tile_h=16, R=24):
     sb, vol_t, occ_t, tf, u, pvm, grid, Np = _brick_inputs()
     out = sb._sweep_bricks_jit(
         vol_t, occ_t, tf, None, u, pvm, None, grid,
-        p_axis=2, R=24, ert=True, test=None, count_samples=False,
+        p_axis=2, R=R, ert=True, test=None, count_samples=False,
         n_slabs=Np, sgn=1, tile_h=tile_h, span_blks=2, dist_leap=True,
         rect_w=rect_w, tent_prec=tent_prec,
         interpret=os.environ.get("SMOKE_INTERPRET") == "1")
@@ -116,6 +116,7 @@ def main():
     step("brick_rect256", lambda: brick(256))
     step("brick_rect384", lambda: brick(384))
     step("brick_rect512", lambda: brick(512))
+    step("brick_rect384_r96", lambda: brick(384, R=96))
     step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
     step("warp_full_src_rect", warp_full_src)

@@ -1309,8 +1309,11 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
             # degraded compile helper's ~2 MB/array ceiling (CLAUDE.md);
             # 4·9·96·384 = 1.33 MB, 4·9·96·512 would be 1.77 MB and the
             # 64-row cap already admits every 512-rect plan seen.
-            r_cands = ((16, 24, 32, 48, 64, 96) if rect_w_c <= 384
-                       else (16, 24, 32, 48, 64))
+            # VKV_MAX_BRICK_R: device-smoke safety knob (r3_smoke_kernels).
+            max_r = int(os.environ.get("VKV_MAX_BRICK_R", "96"))
+            r_cands = tuple(
+                c for c in (16, 24, 32, 48, 64, 96)
+                if c <= max_r and (c <= 64 or rect_w_c <= 384))
             for th in (32, 16, 8):
                 span = th * dwv_max * Sv * t_max
                 sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
