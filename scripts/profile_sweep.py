@@ -161,6 +161,54 @@ def main():
         dim_max=max(vol_t.shape), H_total=None,
         warp_variant=k.get("warp_variant", "A")), "warp stage")
 
+    # Kernel-variant A/B on the SAME captured frame (tent-dot precision;
+    # a wider rect, which is always safe to widen) plus a re-planned
+    # 256-rect engine — calibrates the plan cost model's rect factor and
+    # picks the production tent precision.
+    if os.environ.get("PROF_VARIANTS", "0") == "1":
+        for prec in ("high", "default"):
+            res[f"sweep_tent_{prec}_ms"] = timed(
+                lambda p=prec: orig(*a, **k, return_chans=True,
+                                    tent_prec=p),
+                f"sweep tent={prec}")
+        rw = k.get("rect_w", 256)
+        if rw < 512 and k.get("R_brick") is not None \
+                and k["R_brick"] <= 64:
+            k5 = dict(k)
+            k5["rect_w"] = 512
+            res["sweep_rect512_ms"] = timed(
+                lambda: orig(*a, **k5, return_chans=True), "sweep rect512")
+        if rw > 256:
+            os.environ["VKV_MAX_RECT"] = "256"
+            try:
+                eng2, *_ = make_engine(dataset, skipmode, 4, scale=scale)
+                cap2 = {}
+
+                def capture2(*aa, **kk):
+                    cap2["a"], cap2["k"] = aa, kk
+                    return orig(*aa, **kk)
+
+                sp._frame_jit = capture2
+                try:
+                    out2 = eng2.render(cam, width, height)
+                    float(out2.color.ravel()[0])
+                finally:
+                    sp._frame_jit = orig
+                if "a" in cap2:
+                    a2, k2 = cap2["a"], cap2["k"]
+                    res["plan_rect256"] = {
+                        kk: k2[kk] for kk in ("Hi", "Wi", "rect_w",
+                                              "tile_h", "R_brick")}
+                    print(f"rect256 plan: {res['plan_rect256']}",
+                          file=sys.stderr, flush=True)
+                    res["sweep_rect256_plan_ms"] = timed(
+                        lambda: orig(*a2, **k2, return_chans=True),
+                        "sweep rect256-plan")
+                    res["frame_rect256_plan_ms"] = timed(
+                        lambda: orig(*a2, **k2), "frame rect256-plan")
+            finally:
+                del os.environ["VKV_MAX_RECT"]
+
     # Sweep with ESS disabled (occupancy "occupied everywhere") to measure
     # the no-skip slab cost the leaps save.
     if os.environ.get("PROF_NOSKIP", "0") == "1":

@@ -1466,6 +1466,7 @@ def _frame_body(
     n_shards=1, axis_name=None, return_chans=False,
     tile_h=8, R_brick=None, span_blks=2, texture_tf=False,
     height=None, width=None, warp_variant="A", rect_w=256,
+    tent_prec=None,
 ):
     """One fused frame: w-grid field construction → Pallas sweep → channel
     stack → Pallas warp → pixel-space outputs. Everything per-frame lives
@@ -1526,7 +1527,7 @@ def _frame_body(
             p_axis=p_axis, R=R_brick, ert=ert, test=test,
             count_samples=test == Test.NUM_TEXTURE_SAMPLES,
             n_slabs=n_slabs, sgn=1 if sgn_p > 0 else -1, tile_h=tile_h,
-            span_blks=span_blks, rect_w=rect_w,
+            span_blks=span_blks, rect_w=rect_w, tent_prec=tent_prec,
             interpret=interpret, dist_leap=dist_leap, texture_tf=texture_tf,
         )
     else:
@@ -1724,7 +1725,7 @@ _frame_jit = functools.partial(
                      "test", "n_slabs", "interpret", "sgn_p", "dist_leap",
                      "RECT_A", "RECT_B", "return_chans", "tile_h",
                      "R_brick", "span_blks", "texture_tf", "height",
-                     "width", "warp_variant", "rect_w"),
+                     "width", "warp_variant", "rect_w", "tent_prec"),
 )(_frame_body)
 
 _pixel_stage_jit = functools.partial(
