@@ -133,6 +133,42 @@ def test_plan_prefers_better_conditioned_variant():
     assert "B" in variants, counts
 
 
+def test_plan_cost_stays_rescued_over_orbit():
+    """Regression lock for the cap-relief rescue (wide brick rects): no
+    benchmark-class pose may fall back to a kernel-cap-inflated grid.
+    Before the rescue, handover poses planned per-slab 832×6144 grids
+    (~20M cost units) and the headline pose swept 1.9× its quality
+    columns; after it every pose stays under ~10M and the headline pose
+    under ~5M."""
+    from vkvolume_tpu.bench.harness import benchmark_camera
+    from vkvolume_tpu.engine import VolumeOptions, from_array
+    from vkvolume_tpu.render import make_uniforms
+    from vkvolume_tpu.render import sweep_pallas as sp
+
+    d, h, w = 494, 832, 832
+    v = from_array(np.zeros((d, h, w), np.uint8),
+                   VolumeOptions(intensity_min=0.1), block_size=4)
+    v.set_scale((100.0 / 832,) * 3)
+    H, W = 1080, 1920
+
+    def vshape(p):
+        return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
+
+    worst = 0.0
+    for az in range(30, 131, 10):
+        cam = benchmark_camera(aspect=W / H, azimuth=float(az))
+        u = make_uniforms(cam, v.node_transform, v.image_transform, 50.0,
+                          (4, 4, 4))
+        view, plan = sp.select_view_plan(u, H, W, vshape)
+        assert plan is not None, az
+        c = sp._plan_cost(plan)
+        worst = max(worst, c)
+        if az == 30:
+            assert c < 5e6, (az, c, plan["Hi"], plan["Wi"])
+            assert plan["R_brick"] is not None
+    assert worst < 10e6, worst
+
+
 def test_full_source_rect_covers_any_span():
     """resample_rows at RECT == Ws (plan._pick_rect's frozen-orbit rescue):
     the aligned DMA base is pinned at 0 and the window covers every source
