@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="quality mode: re-march resampling-suspect pixels "
                         "(silhouette/depth edges) with the exact per-ray "
                         "marcher and splice them into the sweep frame")
+    p.add_argument("--scene", action="store_true",
+                   help="render the demo hall mesh around the volume "
+                        "(the reference's render_sponza_scene toggle, "
+                        "src/volume_render.cpp:88: forward scene pass + "
+                        "depth-clipped volume composite)")
     p.add_argument("--azimuth", type=float, default=30.0)
     p.add_argument("--elevation", type=float, default=20.0)
     p.add_argument("--orbit", type=float, default=0.0,
@@ -166,7 +171,13 @@ def main(argv=None) -> int:
         radius = fit_distance(50.0, np.deg2rad(60.0), aspect) * 1.3
         cam = orbit_camera(radius=radius, azimuth_deg=args.azimuth,
                            elevation_deg=args.elevation, aspect=aspect)
-        out = engine.render(cam, args.width, args.height)
+        if args.scene:
+            from .render.forward import sponza_lite
+
+            out = engine.render_with_scene(cam, args.width, args.height,
+                                           sponza_lite())
+        else:
+            out = engine.render(cam, args.width, args.height)
         out.color.block_until_ready()
 
     if args.output:

@@ -323,6 +323,36 @@ class Engine:
 
     # ---- per-frame ------------------------------------------------------
 
+    def render_with_scene(self, camera, width: int, height: int, mesh,
+                          light_dir=(-0.4, -0.8, -0.45)) -> RenderOutput:
+        """Forward scene pass + volume pass, composited like the
+        reference's render pipeline with ``render_sponza_scene`` on
+        (src/volume_render.cpp:329-356): the mesh renders first
+        (render/forward.py), its reverse-Z depth clips the volume rays
+        (DEPTH_ATTACHMENT variant, volume_render.frag:122-165), and the
+        volume's premultiplied front-to-back output composites OVER the
+        scene color (src/volume_render_subpass.cpp:177-186)."""
+        from ..render.forward import rasterize
+
+        scene_rgb, scene_depth = rasterize(mesh, camera, height, width,
+                                           light_dir=light_dir)
+        prev = self.options.depth_attachment
+        self.options.depth_attachment = True
+        try:
+            out = self.render(camera, width, height,
+                              depth_image=scene_depth)
+        finally:
+            self.options.depth_attachment = prev
+        vol_a = out.color[..., 3:4]
+        rgb = out.color[..., :3] + (1.0 - vol_a) * scene_rgb
+        covered = (scene_depth > 0.0)[..., None].astype(jnp.float32)
+        alpha = vol_a + (1.0 - vol_a) * covered
+        return dataclasses.replace(
+            out,
+            color=jnp.concatenate([rgb, alpha], -1),
+            depth=jnp.maximum(out.depth, scene_depth),
+        )
+
     def render(self, camera, width: int, height: int,
                depth_image=None) -> RenderOutput:
         """One frame: per volume, ray setup + march, blended front-to-back
