@@ -70,3 +70,19 @@ def test_stats_endpoint(viewer):
     st = json.loads(body)
     assert st["frames"] >= 1 and st["renderer"] == "sweep"
     assert st["render_ms"] > 0
+
+
+def test_scene_toggle_changes_frame(viewer):
+    """scene=1 routes through the forward mesh pass (the reference GUI's
+    render-sponza checkbox): the frame gains the hall background."""
+    import io
+
+    from PIL import Image
+
+    plain, _ = _get(viewer, "/frame.png?azimuth=30&elevation=20")
+    scene, _ = _get(viewer, "/frame.png?azimuth=30&elevation=20&scene=1")
+    a = np.asarray(Image.open(io.BytesIO(plain)))
+    b = np.asarray(Image.open(io.BytesIO(scene)))
+    # The hall fills the previously-black background.
+    assert (a.reshape(-1, 3).max(1) == 0).mean() > 0.2
+    assert (b.reshape(-1, 3).max(1) == 0).mean() < 0.02

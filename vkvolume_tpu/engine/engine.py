@@ -910,9 +910,15 @@ class Engine:
         return sweep_rows(rays)
 
     def render_image(self, camera, width: int, height: int,
-                     background=(0.0, 0.0, 0.0)) -> np.ndarray:
-        """Render and composite over a background, returning uint8 HxWx3."""
-        out = self.render(camera, width, height)
+                     background=(0.0, 0.0, 0.0),
+                     scene_mesh=None) -> np.ndarray:
+        """Render and composite over a background, returning uint8 HxWx3.
+        ``scene_mesh`` routes through the forward scene pass
+        (render_with_scene — the reference's render_sponza_scene path)."""
+        if scene_mesh is not None:
+            out = self.render_with_scene(camera, width, height, scene_mesh)
+        else:
+            out = self.render(camera, width, height)
         rgba = np.asarray(out.color)
         bg = np.asarray(background, np.float32)
         rgb = rgba[..., :3] + (1.0 - rgba[..., 3:4]) * bg

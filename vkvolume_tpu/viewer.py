@@ -46,12 +46,22 @@ _PAGE = """<!doctype html>
 <img id="frame" width="__W__" height="__H__"/>
 <script>
 const P = {imin:__IMIN__, imax:__IMAX__, gmin:__GMIN__, gmax:__GMAX__,
-           azimuth:30, elevation:20};
+           azimuth:30, elevation:20, scene:0};
 const DEFS = [
  ["imin", 0, 1, 0.001], ["imax", 0, 1, 0.001],
  ["gmin", 0, 1, 0.001], ["gmax", 0, 1, 0.001],
  ["azimuth", -180, 180, 1], ["elevation", -89, 89, 1]];
 const box = document.getElementById("sliders");
+{ // scene checkbox (the reference GUI's render-sponza toggle)
+  const row = document.createElement("div"); row.className = "row";
+  row.innerHTML = `<label>scene</label>
+    <input type="checkbox" id="scene"/>`;
+  box.appendChild(row);
+  row.querySelector("input").addEventListener("input", e => {
+    P.scene = e.target.checked ? 1 : 0;
+    refresh();
+  });
+}
 for (const [k, lo, hi, st] of DEFS) {
   const row = document.createElement("div"); row.className = "row";
   row.innerHTML = `<label>${k}</label>
@@ -100,6 +110,7 @@ class ViewerServer:
         self.radius = fit_distance(
             50.0, np.deg2rad(60.0), width / height) * 1.3
         self.lock = threading.Lock()
+        self._scene_mesh = None
         self.last = dict(update_ms=0.0, render_ms=0.0, renderer="",
                          occupied_pct=None, frames=0)
         viewer = self
@@ -187,8 +198,16 @@ class ViewerServer:
                 azimuth_deg=q.get("azimuth", 30.0),
                 elevation_deg=q.get("elevation", 20.0),
                 aspect=self.width / self.height)
+            mesh = None
+            if q.get("scene", 0.0) > 0.0:
+                from .render.forward import sponza_lite
+
+                if self._scene_mesh is None:
+                    self._scene_mesh = sponza_lite()
+                mesh = self._scene_mesh
             t0 = time.perf_counter()
-            rgb = self.engine.render_image(cam, self.width, self.height)
+            rgb = self.engine.render_image(cam, self.width, self.height,
+                                           scene_mesh=mesh)
             render_ms = (time.perf_counter() - t0) * 1e3
             self.last = dict(
                 update_ms=round(update_ms, 2),
