@@ -83,6 +83,12 @@ for i in $(seq 1 400); do
     timeout 3300 python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
     continue
   fi
+  if [ ! -s /tmp/rows_done ]; then
+    log "attempt $i: relay-degraded CSV rows"
+    timeout 3300 python scripts/remeasure_rows.py > /tmp/rows_try.log 2>&1 \
+      && touch /tmp/rows_done
+    continue
+  fi
   log "all artifacts captured"
   exit 0
 done
