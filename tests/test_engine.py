@@ -317,3 +317,19 @@ def test_edge_repair_closes_resample_gap():
     # diffs are smooth-region resampling below the suspect threshold).
     assert d_rep.max() <= d_plain.max() + 1e-6
     assert (d_rep > 2 / 255).sum() < (d_plain > 2 / 255).sum()
+
+
+def test_spin_volume_rotates_render():
+    """Volume.set_spin (the reference's spin_volumes animation,
+    src/volume_render.cpp:89): a 90-degree node rotation changes the frame
+    while preserving the scale; spin is absolute, not cumulative."""
+    eng, v, _ = _engine("marcher")
+    base = np.asarray(eng.render(CAM, 32, 32).color)
+    v.set_spin(np.deg2rad(90.0))
+    spun = np.asarray(eng.render(CAM, 32, 32).color)
+    assert spun[..., 3].max() > 0.3
+    assert np.abs(spun - base).max() > 0.02
+    # Scale preserved: rotation by 360 degrees restores the base frame.
+    v.set_spin(np.deg2rad(360.0))
+    back = np.asarray(eng.render(CAM, 32, 32).color)
+    np.testing.assert_allclose(back, base, atol=2e-2)

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "depth-clipped volume composite)")
     p.add_argument("--azimuth", type=float, default=30.0)
     p.add_argument("--elevation", type=float, default=20.0)
+    p.add_argument("--spin", type=float, default=0.0, metavar="DEG",
+                   help="rotate the volume DEG degrees per benchmark frame "
+                        "(the reference's spin_volumes animation, "
+                        "src/volume_render.cpp:89)")
     p.add_argument("--orbit", type=float, default=0.0,
                    help="degrees of azimuth per frame (spin equivalent)")
     p.add_argument("--output", default=None, help="write a PNG snapshot")
@@ -163,6 +167,8 @@ def main(argv=None) -> int:
         for i in range(n):
             az = args.azimuth + args.orbit * i
             cam = benchmark_camera(aspect, az, args.elevation)
+            if args.spin:
+                volume.set_spin(np.deg2rad(args.spin * i))
             out = engine.render(cam, args.width, args.height)
         out.color.block_until_ready()
         dt = time.perf_counter() - t0
