@@ -193,6 +193,45 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
             env = envelope(key, subset)
             if env is not None and env not in tiers:
                 tiers.append(env)
+        # Merge near-identical adjacent tiers: every tier is a separate
+        # multi-minute remote Mosaic compile at orbit warm-up, and area
+        # banding routinely produces neighbours within a few percent
+        # (e.g. 1792×2816 vs 1856×2816). The merged envelope takes the
+        # max of every coverage-monotone static; poses of the smaller
+        # band pay ≤25 % more grid. Rects are maxed here and repaired
+        # per pose below.
+        i = 0
+        while i + 1 < len(tiers):
+            a, b = tiers[i], tiers[i + 1]
+            area_u = max(a["Hi"], b["Hi"]) * max(a["Wi"], b["Wi"])
+            brick_alike = (a["R_brick"] is None) == (b["R_brick"] is None)
+            wv_a, wv_b = a.get("warp_variant"), b.get("warp_variant")
+            wv_ok = wv_a is None or wv_b is None or wv_a == wv_b
+            if (brick_alike and wv_ok
+                    and area_u <= 1.25 * min(a["Hi"] * a["Wi"],
+                                             b["Hi"] * b["Wi"])):
+                def mx(k):
+                    va, vb = a.get(k), b.get(k)
+                    if va is None:
+                        return vb
+                    if vb is None:
+                        return va
+                    return max(va, vb)
+
+                tiers[i] = dict(
+                    Hi=max(a["Hi"], b["Hi"]), Wi=max(a["Wi"], b["Wi"]),
+                    tile_h=min(a["tile_h"], b["tile_h"]),
+                    R_brick=mx("R_brick"),
+                    span_blks=max(a["span_blks"], b["span_blks"]),
+                    rect_w=max(a.get("rect_w", 256), b.get("rect_w", 256)),
+                    R_sweep=max(a["R_sweep"], b["R_sweep"]),
+                    R_warp=mx("R_warp"), RECT_A=mx("RECT_A"),
+                    RECT_B=mx("RECT_B"),
+                    warp_variant=wv_a if wv_a is not None else wv_b,
+                )
+                del tiers[i + 1]
+            else:
+                i += 1
         # Cross-band rect repair: a pose whose OWN band's tier rejects its
         # grid (quality/brick re-check) lands on a LARGER tier at orbit
         # time — where its warp spans, scaled by the bigger grid, can
