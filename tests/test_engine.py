@@ -333,3 +333,42 @@ def test_spin_volume_rotates_render():
     v.set_spin(np.deg2rad(360.0))
     back = np.asarray(eng.render(CAM, 32, 32).color)
     np.testing.assert_allclose(back, base, atol=2e-2)
+
+
+def test_wide_rect_spec_failure_narrows_before_xla():
+    """A refused wide-rect Mosaic specialisation must fall back to a
+    256-rect re-plan of the same view (still Pallas-class), not straight
+    to the seconds-per-frame XLA sweep. On CPU every Pallas call fails
+    ("interpret only"), standing in for the remote compile service's
+    intermittent 500s on fresh classes."""
+    from vkvolume_tpu.bench.harness import benchmark_camera
+    from vkvolume_tpu.render import make_uniforms
+    from vkvolume_tpu.render import sweep_pallas as sp
+
+    shape = (64, 512, 512)
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="pallas")
+    v = from_array(np.zeros(shape, np.uint8),
+                   VolumeOptions(intensity_min=0.1), block_size=4)
+    v.set_scale((100.0 / 512,) * 3)
+    eng.add_volume(v)
+    W, H = 768, 384
+    cam = benchmark_camera(W / H, azimuth=50.0)
+
+    def vshape(p):
+        d, h, w = shape
+        return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
+
+    u = make_uniforms(cam, v.node_transform, v.image_transform, 50.0,
+                      (4, 4, 4))
+    _, plan = sp.select_view_plan(u, H, W, vshape)
+    assert plan["rect_w"] > 256          # the pose genuinely plans wide
+
+    for _ in range(eng._SPEC_RETRIES + 1):
+        out = eng.render(cam, W, H)      # Pallas fails -> sweep fallback
+        assert out is not None
+    pose = next(val for key, val in v._sweep_cache.items()
+                if isinstance(key, tuple) and key[0] == "pose")
+    narrow = pose.get("plan_narrow")
+    assert isinstance(narrow, dict), narrow
+    assert narrow.get("rect_w", 256) == 256

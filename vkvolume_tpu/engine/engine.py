@@ -784,19 +784,41 @@ class Engine:
                             plan.get("R_brick") is None
                             or n_slabs < vol_t.shape[0]):
                         plan = None
+                def _spec_key(pl):
+                    return (pl["Hi"], pl["Wi"], pl["R_sweep"],
+                            pl["R_warp"], pl.get("tile_h"),
+                            pl.get("R_brick"), pl.get("span_blks"),
+                            pl.get("rect_w", 256),
+                            pl["RECT_A"], pl["RECT_B"],
+                            pl.get("warp_variant"), p, pl["sgn_p"],
+                            height, width, self.options.test,
+                            self.options.early_ray_termination)
+
                 spec_key = None
                 if plan is not None:
-                    spec_key = (plan["Hi"], plan["Wi"], plan["R_sweep"],
-                                plan["R_warp"], plan.get("tile_h"),
-                                plan.get("R_brick"), plan.get("span_blks"),
-                                plan.get("rect_w", 256),
-                                plan["RECT_A"], plan["RECT_B"],
-                                plan.get("warp_variant"), p, plan["sgn_p"],
-                                height, width, self.options.test,
-                                self.options.early_ray_termination)
+                    spec_key = _spec_key(plan)
                     if self._failed_specs.get(spec_key, 0) >= \
                             self._SPEC_RETRIES:
-                        plan = None
+                        # A refused wide-rect specialisation (the remote
+                        # Mosaic compile service 500s intermittently on
+                        # fresh classes) narrows to a 256-rect re-plan of
+                        # the same view — still ~10× the XLA-sweep
+                        # fallback — before abandoning the Pallas path.
+                        narrow = pose.get("plan_narrow")
+                        if (narrow is None
+                                and plan.get("rect_w", 256) > 256):
+                            narrow = sp.plan_from_stats(
+                                view, uniforms, p, vol_t.shape,
+                                height, width, max_rect=256)
+                            pose["plan_narrow"] = (narrow
+                                                   if narrow is not None
+                                                   else False)
+                        plan = narrow or None
+                        if plan is not None:
+                            spec_key = _spec_key(plan)
+                            if self._failed_specs.get(spec_key, 0) >= \
+                                    self._SPEC_RETRIES:
+                                plan = None
                 if plan is not None:
                     # ONE per-pose device transfer: every per-pose float
                     # (uniform leaves, pvm, grid params, homography coeffs)

@@ -1008,7 +1008,7 @@ def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     height: int, width: int, max_oversample: float = 2.5,
                     force: dict | None = None, mobius: bool | None = None,
-                    size_only: bool = False):
+                    size_only: bool = False, max_rect: int | None = None):
     """Grid sizing + static kernel parameters from the view statistics.
 
     Searches over a grid-coarsening factor: diagonal views (|wu| → large)
@@ -1355,7 +1355,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # the wider rect only applies to the BRICK kernel (the per-slab
     # fallback keeps its 256-lane assumptions — _frame_body refuses the
     # mismatch).
-    max_rect = int(os.environ.get("VKV_MAX_RECT", "512"))
+    if max_rect is None:
+        max_rect = int(os.environ.get("VKV_MAX_RECT", "512"))
     if brick_env and Su >= 384 and f_hi_u * 1.05 > cap_fp_u:
         for rect_c in (384, 512):
             if Su < rect_c or rect_c > max_rect:
