@@ -372,3 +372,30 @@ def test_wide_rect_spec_failure_narrows_before_xla():
     narrow = pose.get("plan_narrow")
     assert isinstance(narrow, dict), narrow
     assert narrow.get("rect_w", 256) == 256
+
+
+def test_brick_spec_failure_falls_to_per_slab_kernel():
+    """When every brick-kernel specialisation exhausts compile retries,
+    the engine must re-plan with the (structurally independent) per-slab
+    kernel before abandoning the Pallas path. Exercised by exhausting the
+    retries on CPU where every Pallas call fails."""
+    from vkvolume_tpu.bench.harness import benchmark_camera
+
+    shape = (64, 512, 512)
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="pallas")
+    v = from_array(np.zeros(shape, np.uint8),
+                   VolumeOptions(intensity_min=0.1), block_size=4)
+    v.set_scale((100.0 / 512,) * 3)
+    eng.add_volume(v)
+    W, H = 768, 384
+    cam = benchmark_camera(W / H, azimuth=50.0)
+    # Enough renders to exhaust wide, narrow AND per-slab retries.
+    for _ in range(3 * eng._SPEC_RETRIES + 2):
+        assert eng.render(cam, W, H) is not None
+    pose = next(val for key, val in v._sweep_cache.items()
+                if isinstance(key, tuple) and key[0] == "pose")
+    noblk = pose.get("plan_noblk")
+    assert isinstance(noblk, dict), noblk
+    assert noblk.get("R_brick") is None          # per-slab kernel plan
+    assert noblk.get("R_sweep") is not None

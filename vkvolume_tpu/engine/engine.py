@@ -819,6 +819,24 @@ class Engine:
                             if self._failed_specs.get(spec_key, 0) >= \
                                     self._SPEC_RETRIES:
                                 plan = None
+                        if plan is None:
+                            # Last Pallas resort: the round-2 per-slab
+                            # kernel (structurally independent of the
+                            # brick kernel) — still ~4-5× the XLA sweep.
+                            noblk = pose.get("plan_noblk")
+                            if noblk is None:
+                                noblk = sp.plan_from_stats(
+                                    view, uniforms, p, vol_t.shape,
+                                    height, width, no_brick=True)
+                                pose["plan_noblk"] = (noblk
+                                                      if noblk is not None
+                                                      else False)
+                            plan = noblk or None
+                            if plan is not None:
+                                spec_key = _spec_key(plan)
+                                if self._failed_specs.get(spec_key, 0) >= \
+                                        self._SPEC_RETRIES:
+                                    plan = None
                 if plan is not None:
                     # ONE per-pose device transfer: every per-pose float
                     # (uniform leaves, pvm, grid params, homography coeffs)

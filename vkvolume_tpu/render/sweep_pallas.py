@@ -1008,7 +1008,8 @@ def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):
 def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
                     height: int, width: int, max_oversample: float = 2.5,
                     force: dict | None = None, mobius: bool | None = None,
-                    size_only: bool = False, max_rect: int | None = None):
+                    size_only: bool = False, max_rect: int | None = None,
+                    no_brick: bool = False):
     """Grid sizing + static kernel parameters from the view statistics.
 
     Searches over a grid-coarsening factor: diagonal views (|wu| → large)
@@ -1047,7 +1048,8 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     wmax_v = max(abs(wv_lo), abs(wv_hi))
     drift_bu = wmax_u * (8.0 / max(Np_s, 1)) * Su
     drift_bv = wmax_v * (8.0 / max(Np_s, 1)) * Sv
-    brick_env = os.environ.get("VKV_NO_BRICK", "0") != "1"
+    brick_env = (not no_brick
+                 and os.environ.get("VKV_NO_BRICK", "0") != "1")
 
     def u_caps(rect_w_c):
         """(brick_wanted, cap_fp_u) under brick-rect width ``rect_w_c``.
