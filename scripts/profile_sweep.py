@@ -179,6 +179,7 @@ def main():
             res["sweep_rect512_ms"] = timed(
                 lambda: orig(*a, **k5, return_chans=True), "sweep rect512")
         if rw > 256:
+            prev_max_rect = os.environ.get("VKV_MAX_RECT")
             os.environ["VKV_MAX_RECT"] = "256"
             try:
                 eng2, *_ = make_engine(dataset, skipmode, 4, scale=scale)
@@ -207,7 +208,10 @@ def main():
                     res["frame_rect256_plan_ms"] = timed(
                         lambda: orig(*a2, **k2), "frame rect256-plan")
             finally:
-                del os.environ["VKV_MAX_RECT"]
+                if prev_max_rect is None:
+                    del os.environ["VKV_MAX_RECT"]
+                else:
+                    os.environ["VKV_MAX_RECT"] = prev_max_rect
 
     # Sweep with ESS disabled (occupancy "occupied everywhere") to measure
     # the no-skip slab cost the leaps save.

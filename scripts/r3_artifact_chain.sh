@@ -86,7 +86,7 @@ for i in $(seq 1 400); do
   if [ ! -s /tmp/rows_done ]; then
     log "attempt $i: relay-degraded CSV rows"
     timeout 3300 python scripts/remeasure_rows.py > /tmp/rows_try.log 2>&1 \
-      && touch /tmp/rows_done \
+      && echo done > /tmp/rows_done \
       && python scripts/make_comparison.py >> /tmp/rows_try.log 2>&1
     continue
   fi

@@ -230,6 +230,9 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                     warp_variant=wv_a if wv_a is not None else wv_b,
                 )
                 del tiers[i + 1]
+                # No chained merges: a second merge would compound the
+                # 1.25x grid-overhead bound on the smallest band's poses.
+                i += 1
             else:
                 i += 1
         # Cross-band rect repair: a pose whose OWN band's tier rejects its

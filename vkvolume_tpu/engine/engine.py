@@ -819,10 +819,12 @@ class Engine:
                             if self._failed_specs.get(spec_key, 0) >= \
                                     self._SPEC_RETRIES:
                                 plan = None
-                        if plan is None:
+                        if plan is None and not self.options.texture_tf:
                             # Last Pallas resort: the round-2 per-slab
                             # kernel (structurally independent of the
                             # brick kernel) — still ~4-5× the XLA sweep.
+                            # (texture_tf exists only in the brick kernel,
+                            # so that mode skips this rung.)
                             noblk = pose.get("plan_noblk")
                             if noblk is None:
                                 noblk = sp.plan_from_stats(
@@ -844,15 +846,22 @@ class Engine:
                     # pack_frame_scalars), cached per pose — a static
                     # camera re-sends nothing, a fresh pose pays one
                     # dispatch instead of ~14.
-                    packed = pose.get("packed_dev")
-                    if packed is None:
-                        packed = pose["packed_dev"] = _jnp.asarray(
-                            sp.pack_frame_scalars(
-                                uniforms, pvm_h,
-                                [plan["wu0"], plan["dwu"],
-                                 plan.get("cu", 0.0),
-                                 plan["wv0"], plan["dwv"],
-                                 plan.get("cv", 0.0)], plan.get("hcoef")))
+                    gp = (plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
+                          plan["wv0"], plan["dwv"], plan.get("cv", 0.0))
+                    hc = plan.get("hcoef")
+                    # Keyed by the PLAN's scalars, not just the pose: the
+                    # fallback chain can switch plans on a cached pose and
+                    # the old plan's grid params would silently warp the
+                    # new kernel's whole grid.
+                    pk_key = (gp, None if hc is None
+                              else tuple(np.asarray(hc).tolist()))
+                    cached = pose.get("packed_dev")
+                    if cached is not None and cached[0] == pk_key:
+                        packed = cached[1]
+                    else:
+                        packed = _jnp.asarray(sp.pack_frame_scalars(
+                            uniforms, pvm_h, list(gp), hc))
+                        pose["packed_dev"] = (pk_key, packed)
                     try:
                         out = sp._frame_jit(
                             vol_t, occ_arr, tf, rays, packed, None, None,

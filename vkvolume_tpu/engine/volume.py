@@ -63,18 +63,23 @@ class Volume:
     def set_scale(self, scale_xyz) -> None:
         """Node uniform scale (reference: node transform set_scale,
         src/volume_render.cpp:233-237)."""
-        self._node_scale = math3d.scale(scale_xyz)
-        self.node_transform = self._node_scale
+        self.node_transform = math3d.scale(scale_xyz)
+        self._spin_base = None
 
     def set_spin(self, angle_rad: float, axis=(0.0, 1.0, 0.0)) -> None:
-        """Node rotation on top of the scale — the reference's
-        ``spin_volumes`` animation (one rotation step per frame,
-        src/volume_render.cpp:89, :256-271: the update loop rotates each
-        volume node before drawing). Absolute angle, not cumulative."""
-        sc = getattr(self, "_node_scale", np.eye(4, dtype=np.float32))
+        """Node rotation composed over the node's spin-free transform —
+        the reference's ``spin_volumes`` animation (one rotation step per
+        frame, src/volume_render.cpp:89, :256-271). Absolute angle, not
+        cumulative: the spin-free base is captured on first use (the
+        current node_transform, whatever composed it), so translations or
+        custom transforms are preserved."""
+        base = getattr(self, "_spin_base", None)
+        if base is None:
+            base = self._spin_base = np.asarray(self.node_transform,
+                                                np.float64)
         self.node_transform = (
             math3d.rotate(angle_rad, axis).astype(np.float64)
-            @ sc.astype(np.float64)).astype(np.float32)
+            @ base).astype(np.float32)
 
 
 def from_file(
