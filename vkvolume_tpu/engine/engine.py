@@ -731,6 +731,14 @@ class Engine:
                 and self.options.test in (_T.NONE, _T.NUM_TEXTURE_SAMPLES)
                 and height % 8 == 0 and width % 128 == 0
                 and vol_t.shape[2] >= 2 and vol_t.shape[1] >= 2
+                # Depth-attachment frames: the w-grid sweep computes its
+                # slab intervals from the camera geometry alone — it honors
+                # the depth ENTRY test only via the pixel mask, not the
+                # per-pixel EXIT clamp (volume_render.frag:152-164), so
+                # scene geometry intersecting the volume would be occluded
+                # wrongly. The banded XLA sweep and the marcher march the
+                # depth-clamped ray intervals exactly.
+                and not use_depth
             )
             if pallas_ok:
                 # Host-analytic frame plan (render/plan.py): no device
