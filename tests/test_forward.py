@@ -102,8 +102,6 @@ def test_scene_composite_occludes_and_underlays():
         verts=wall_f.verts * np.array([1, 1, -1], np.float32),
         faces=wall_f.faces, albedo=wall_f.albedo)
     out_b = np.asarray(eng.render_with_scene(cam, W, H, wall_b).color)
-    a = base[..., 3:4]
-    expect_rgb = base[..., :3] + (1.0 - a) * out_f[..., :3] * 0.0
     ctr_b = out_b[H // 2, W // 2]
     ctr_v = base[H // 2, W // 2]
     # Volume term preserved exactly; underlay only adds where α < 1.
@@ -112,7 +110,6 @@ def test_scene_composite_occludes_and_underlays():
     # Away from the volume silhouette the wall color shows through.
     edge = out_b[0, 0]
     assert edge[2] > edge[0]
-    del expect_rgb
 
 
 def test_sponza_lite_scene_renders():

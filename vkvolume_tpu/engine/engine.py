@@ -807,46 +807,40 @@ class Engine:
                     spec_key = _spec_key(plan)
                     if self._failed_specs.get(spec_key, 0) >= \
                             self._SPEC_RETRIES:
-                        # A refused wide-rect specialisation (the remote
+                        # Compile-failure fallback chain (the remote
                         # Mosaic compile service 500s intermittently on
-                        # fresh classes) narrows to a 256-rect re-plan of
-                        # the same view — still ~10× the XLA-sweep
-                        # fallback — before abandoning the Pallas path.
-                        narrow = pose.get("plan_narrow")
-                        if (narrow is None
-                                and plan.get("rect_w", 256) > 256):
-                            narrow = sp.plan_from_stats(
-                                view, uniforms, p, vol_t.shape,
-                                height, width, max_rect=256)
-                            pose["plan_narrow"] = (narrow
-                                                   if narrow is not None
-                                                   else False)
-                        plan = narrow or None
-                        if plan is not None:
-                            spec_key = _spec_key(plan)
-                            if self._failed_specs.get(spec_key, 0) >= \
-                                    self._SPEC_RETRIES:
-                                plan = None
-                        if plan is None and not self.options.texture_tf:
-                            # Last Pallas resort: the round-2 per-slab
-                            # kernel (structurally independent of the
-                            # brick kernel) — still ~4-5× the XLA sweep.
-                            # (texture_tf exists only in the brick kernel,
-                            # so that mode skips this rung.)
-                            noblk = pose.get("plan_noblk")
-                            if noblk is None:
-                                noblk = sp.plan_from_stats(
+                        # fresh classes): a refused wide-rect spec narrows
+                        # to a 256-rect re-plan of the same view, then to
+                        # the round-2 per-slab kernel (structurally
+                        # independent of the brick kernel) — both still
+                        # ~4-10× the XLA-sweep last resort. texture_tf
+                        # exists only in the brick kernel, so that mode
+                        # skips the per-slab rung. Each rung is cached on
+                        # the pose (False = planning itself failed) and
+                        # has its own compile-retry budget.
+                        rungs = []
+                        if plan.get("rect_w", 256) > 256:
+                            rungs.append(("plan_narrow",
+                                          dict(max_rect=256)))
+                        if not self.options.texture_tf:
+                            rungs.append(("plan_noblk",
+                                          dict(no_brick=True)))
+                        plan = None
+                        for slot, kw in rungs:
+                            cand = pose.get(slot)
+                            if cand is None:
+                                cand = sp.plan_from_stats(
                                     view, uniforms, p, vol_t.shape,
-                                    height, width, no_brick=True)
-                                pose["plan_noblk"] = (noblk
-                                                      if noblk is not None
-                                                      else False)
-                            plan = noblk or None
-                            if plan is not None:
-                                spec_key = _spec_key(plan)
-                                if self._failed_specs.get(spec_key, 0) >= \
-                                        self._SPEC_RETRIES:
-                                    plan = None
+                                    height, width, **kw)
+                                pose[slot] = (cand if cand is not None
+                                              else False)
+                            if not cand:
+                                continue
+                            spec_key = _spec_key(cand)
+                            if self._failed_specs.get(spec_key, 0) < \
+                                    self._SPEC_RETRIES:
+                                plan = cand
+                                break
                 if plan is not None:
                     # ONE per-pose device transfer: every per-pose float
                     # (uniform leaves, pvm, grid params, homography coeffs)

@@ -1068,7 +1068,6 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         return bw, denom / (Su * t_max * TILE_W)
 
     brick_wanted, cap_fp_u = u_caps(256)
-    denom_u = cap_fp_u * (Su * t_max * TILE_W)
     # End-band footprints (analytic path only) drive the projective grid
     # fit (_mobius_grid_params); missing → uniform grid (f_lo = f_hi).
     q_u = max(st["du_q"], 1e-9)
@@ -1089,7 +1088,6 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
     # keeps the dense end pixel-matched while the projective tail runs at
     # the kernel limit — the handover-band poses whose uniform grids
     # exploded to ~30k columns get image-scale grids.
-    cap_fp_u = denom_u / (Su * t_max * TILE_W)
     cap_fp_v = 38.0 / (8.0 * Sv * t_max)
     # Quality size (s = 1: the grid matches the local pixel footprint
     # everywhere; its cell count is range/geomean of the end footprints).
