@@ -61,7 +61,12 @@ for i in $(seq 1 400); do
     timeout 2700 env BENCH_WATCHDOG_S=2400 python bench.py \
       > /tmp/bench_try.log 2>>/tmp/bench_static_err.log
     grep '"unit"' /tmp/bench_try.log | tail -1 > /tmp/bench_static_r3.json
-    [ -s /tmp/bench_static_r3.json ] || rm -f /tmp/bench_static_r3.json
+    if [ -s /tmp/bench_static_r3.json ]; then
+      cp /tmp/bench_static_r3.json docs/bench_static_r3.json
+      cp /tmp/r3_smoke.json docs/smoke_r3.json 2>/dev/null
+    else
+      rm -f /tmp/bench_static_r3.json
+    fi
     continue  # re-probe between steps
   fi
   if ! orbit_done; then
@@ -69,7 +74,13 @@ for i in $(seq 1 400); do
     timeout 3600 env BENCH_ORBIT=2 BENCH_BREAKDOWN=0 BENCH_WATCHDOG_S=3000 \
       python bench.py > /tmp/orbit_try.log 2>>/tmp/orbit_err_r3.log
     grep '"unit"' /tmp/orbit_try.log | tail -1 > /tmp/orbit_r3_new.json
-    [ -s /tmp/orbit_r3_new.json ] || rm -f /tmp/orbit_r3_new.json
+    if [ -s /tmp/orbit_r3_new.json ]; then
+      # The free-camera number of record for the CURRENT code (the prior
+      # docs/orbit_r3.json was measured mid-round; git keeps it).
+      cp /tmp/orbit_r3_new.json docs/orbit_r3.json
+    else
+      rm -f /tmp/orbit_r3_new.json
+    fi
     continue
   fi
   if ! interactive_done; then
