@@ -11,7 +11,7 @@ LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
 smoke_done()       { [ -s /tmp/r3_smoke.json ] && \
-                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 7 ]; }
+                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 8 ]; }
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }
 orbit_done()       { [ -s /tmp/orbit_r3_new.json ]; }
 interactive_done() { [ -s docs/interactive_r3.json ]; }

@@ -99,7 +99,7 @@ def brick(rect_w, tent_prec="highest", tile_h=16, R=24):
     assert np.isfinite(v)
 
 
-def warp_full_src():
+def warp_full_src(pipeline=False):
     from vkvolume_tpu.render import warp_pallas as wp
 
     rng = np.random.default_rng(1)
@@ -107,7 +107,7 @@ def warp_full_src():
     pos = jnp.asarray(
         rng.uniform(0.0, 1151.0, (16, 128)).astype(np.float32))
     out = wp.resample_rows(
-        src, pos, RECT=1152,
+        src, pos, RECT=1152, pipeline=pipeline,
         interpret=os.environ.get("SMOKE_INTERPRET") == "1")
     assert np.isfinite(float(np.asarray(out).sum()))
 
@@ -120,6 +120,7 @@ def main():
     step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
     step("warp_full_src_rect", warp_full_src)
+    step("warp_pipelined", lambda: warp_full_src(pipeline=True))
     print(json.dumps(RESULTS, indent=1))
 
 

@@ -207,3 +207,30 @@ def test_pick_rect_full_source_rescue():
     assert plan_mod._pick_rect(5300.0, 5390, allow_full_src=True) is None
     assert plan_mod._pick_rect(1747.0, 1152, allow_full_src=True) == 1152
     assert plan_mod._pick_rect(4000.0, 5376, allow_full_src=True) == 4608
+
+
+def test_pipelined_resample_matches_inline():
+    """resample_rows(pipeline=True): the cross-grid-step double-buffered
+    rect DMA (bases precomputed into the scalar-prefetch array) must
+    resample identically to the inline-DMA kernel, including masked
+    pixels, u16 encoding, and full-source rects."""
+    rng = np.random.default_rng(3)
+    C, Hs, Ws = 3, 32, 1024
+    src = jnp.asarray(rng.random((C, Hs, Ws), np.float32))
+    pos = rng.uniform(0.0, 300.0, (Hs, 256)).astype(np.float32)
+    pos[5, 10:30] = -10.0
+    pos = jnp.asarray(pos)
+    ref = np.asarray(wp.resample_rows(src, pos, RECT=512, interpret=True,
+                                      pipeline=False))
+    out = np.asarray(wp.resample_rows(src, pos, RECT=512, interpret=True,
+                                      pipeline=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # u16-encoded + full-source rect through the pipelined path.
+    enc = jnp.asarray((np.asarray(src) * 60000).astype(np.uint16))
+    pos_w = jnp.asarray(
+        rng.uniform(0.0, Ws - 1.0, (Hs, 256)).astype(np.float32))
+    r2 = np.asarray(wp.resample_rows(enc, pos_w, RECT=Ws, interpret=True,
+                                     pipeline=False, encode_out=True))
+    o2 = np.asarray(wp.resample_rows(enc, pos_w, RECT=Ws, interpret=True,
+                                     pipeline=True, encode_out=True))
+    np.testing.assert_array_equal(o2, r2)

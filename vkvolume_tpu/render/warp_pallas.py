@@ -236,11 +236,85 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
             out_ref[c, :, :] = val
 
 
+def _resample_kernel_pipe(meta_ref, pos_ref, src_ref, out_ref,
+                          scratch, sems, *, RECT, C, encode_out, NTX, NT):
+    """Cross-grid-step pipelined twin of _resample_kernel: the (C, 8, RECT)
+    rect DMA for tile s+1 is started while tile s computes (the two-pass
+    warp is DMA-bound; the inline DMA serialised transfer and compute).
+    Possible because the per-tile aligned rect base is precomputed on the
+    host side of the jit into an SMEM scalar array — any tile's base is
+    readable at any step, and the wait can rebuild the exact descriptor
+    the start used. ``meta_ref`` packs [Ws, 0, base_0, base_1, ...]."""
+    f = jnp.float32
+    Ws = meta_ref[0]
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    s = ty * NTX + tx
+
+    def dma(step, slot):
+        base = meta_ref[2 + step]
+        base = pl.multiple_of(base, 128)
+        ti = step // NTX
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(ti * TILE_H, TILE_H), pl.ds(base, RECT)],
+            scratch.at[slot], sems.at[slot],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        dma(s, jax.lax.rem(s, 2)).start()
+
+    @pl.when(s < NT - 1)
+    def _():
+        dma(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+    dma(s, jax.lax.rem(s, 2)).wait()
+
+    pos = pos_ref[:]
+    inside = pos > -5.0
+    posc = jnp.clip(pos, 0.0, Ws.astype(f) - 1.0)
+    u0a = meta_ref[2 + s]
+    iu0 = jnp.floor(posc).astype(jnp.int32)
+    fu = jnp.clip(posc - jnp.floor(posc), 0.0, 1.0)
+    il0 = jnp.clip(iu0 - u0a, 0, RECT - 1)
+    il1 = jnp.clip(iu0 + 1 - u0a, 0, RECT - 1)
+
+    def u_tap(halves, il):
+        g = jnp.take_along_axis(halves[0], jnp.minimum(il, 127), axis=1)
+        for h in range(1, RECT // 128):
+            g = jnp.where(
+                il < 128 * h, g,
+                jnp.take_along_axis(halves[h],
+                                    jnp.clip(il - 128 * h, 0, 127), axis=1),
+            )
+        return g
+
+    slot = jax.lax.rem(s, 2)
+    for c in range(C):
+        rows = scratch[slot, c, :, :]                  # (8, RECT)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.int32).astype(f)
+        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                       for h in range(RECT // 128))
+        g0 = u_tap(halves, il0)
+        g1 = u_tap(halves, il1)
+        val = g0 + (g1 - g0) * fu
+        val = jnp.where(inside, val, 0.0)
+        if encode_out:
+            out_ref[c, :, :] = jnp.round(
+                jnp.clip(val, 0.0, 65535.0)
+            ).astype(jnp.int32).astype(jnp.uint16)
+        else:
+            out_ref[c, :, :] = val
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("RECT", "encode_out", "interpret"))
+                   static_argnames=("RECT", "encode_out", "interpret",
+                                    "pipeline"))
 def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
                   encode_out: bool = False,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  pipeline: bool | None = None) -> jax.Array:
     """Row-aligned 1-D resample: out[c, y, x] = lerp(src[c, y, pos[y, x]]).
 
     ``pos`` is (Ho, Wo) with Ho == src rows; Ho % 8 == 0, Wo % 128 == 0.
@@ -249,17 +323,64 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
     rescue), where the window covers every source column and ANY span is
     valid. ``src_chw`` may be uint16 (encoded values); ``encode_out``
     keeps the output uint16-encoded as well. ``interpret`` runs the real
-    kernel under the Pallas interpreter (tests)."""
+    kernel under the Pallas interpreter (tests).
+
+    ``pipeline``: double-buffer the rect DMA across grid steps (tile s+1's
+    transfer overlaps tile s's gathers — the pass is DMA-bound). The
+    per-tile aligned bases are precomputed into the scalar-prefetch array.
+    None reads VKV_WARP_PIPE once at trace time (device A/B knob)."""
+    import os
+
     C, Hs, Ws = src_chw.shape
     Ho, Wo = pos.shape
     assert Ho == Hs, (Ho, Hs)
+    if pipeline is None:
+        pipeline = os.environ.get("VKV_WARP_PIPE", "0") == "1"
+    out_dtype = jnp.uint16 if encode_out else jnp.float32
+    nty, ntx = Ho // TILE_H, Wo // TILE_W
+
+    if pipeline:
+        # Per-tile aligned rect bases (the kernel's own min/floor/align
+        # math, hoisted to XLA so any step can prefetch any tile's rect).
+        pt = pos.reshape(nty, TILE_H, ntx, TILE_W)
+        pmin = jnp.min(
+            jnp.where(pt > -5.0, jnp.clip(pt, 0.0, Ws - 1.0), jnp.inf),
+            axis=(1, 3))
+        u0 = jnp.floor(
+            jnp.where(jnp.isfinite(pmin), pmin, 0.0)).astype(jnp.int32)
+        bases = jnp.clip((u0 // 128) * 128, 0, max(Ws - RECT, 0))
+        meta = jnp.concatenate([
+            jnp.asarray([Ws, 0], jnp.int32), bases.reshape(-1)])
+        kern = functools.partial(_resample_kernel_pipe, RECT=RECT, C=C,
+                                 encode_out=encode_out, NTX=ntx,
+                                 NT=nty * ntx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((C, TILE_H, TILE_W),
+                                   lambda ty, tx, *_: (0, ty, tx)),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, TILE_H, RECT), src_chw.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((C, Ho, Wo), out_dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(meta, pos, src_chw)
+
     meta = jnp.asarray([Ws], jnp.int32)
     kern = functools.partial(_resample_kernel, RECT=RECT, C=C,
                              encode_out=encode_out)
-    out_dtype = jnp.uint16 if encode_out else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Ho // TILE_H, Wo // TILE_W),
+        grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
             pl.BlockSpec(memory_space=pl.ANY),
