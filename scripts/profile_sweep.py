@@ -166,6 +166,14 @@ def main():
     # 256-rect engine — calibrates the plan cost model's rect factor and
     # picks the production tent precision.
     if os.environ.get("PROF_VARIANTS", "0") == "1":
+        if k.get("RECT_A") is not None:
+            res["warp_pipe_ms"] = timed(lambda: sp._pixel_stage_jit(
+                chans, rays, gp, hcoef, tf, iters,
+                p_axis=k["p_axis"], Hi=k["Hi"], R_warp=k["R_warp"],
+                test=k["test"], RECT_A=k["RECT_A"], RECT_B=k["RECT_B"],
+                interpret=False, dim_max=max(vol_t.shape), H_total=None,
+                warp_variant=k.get("warp_variant", "A"),
+                warp_pipe=True), "warp stage (pipelined)")
         for prec in ("high", "default"):
             res[f"sweep_tent_{prec}_ms"] = timed(
                 lambda p=prec: orig(*a, **k, return_chans=True,

@@ -1587,7 +1587,7 @@ def _frame_body(
 def _pixel_stage(
     chans, rays: RaySetup, grid_params, hcoef, tf: TFParams, iterations,
     *, p_axis, Hi, R_warp, test, RECT_A, RECT_B, interpret, dim_max,
-    H_total=None, warp_variant="A",
+    H_total=None, warp_variant="A", warp_pipe=None,
 ):
     """Warp + pixel-space outputs (the frame's second half — split out so
     the benchmark can time the grid and pixel stages separately).
@@ -1658,7 +1658,7 @@ def _pixel_stage(
             gx_p = jnp.pad(gx, ((0, Hp - H), (0, 0)), constant_values=-10.0)
             warped_p = warp_pallas.warp_two_pass_b(
                 chans, yb, gx_p, RECT_A=RECT_A, RECT_B=RECT_B,
-                scales=scales, interpret=interpret)
+                scales=scales, interpret=interpret, pipeline=warp_pipe)
         else:
             ygi = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 0).astype(f)
             jj = jax.lax.broadcasted_iota(jnp.int32, (Hi, W), 1).astype(f)
@@ -1687,7 +1687,7 @@ def _pixel_stage(
                            constant_values=-10.0)
             warped_p = warp_pallas.warp_two_pass(
                 chans, xa, gy_t, RECT_A=RECT_A, RECT_B=RECT_B,
-                scales=scales, interpret=interpret)
+                scales=scales, interpret=interpret, pipeline=warp_pipe)
         warped = warped_p[:, :H, :]
     elif interpret or R_warp is None:
         # XLA-gather warp: interpret/test mode, or the last-tier plan for
@@ -1732,7 +1732,8 @@ _frame_jit = functools.partial(
 _pixel_stage_jit = functools.partial(
     jax.jit,
     static_argnames=("p_axis", "Hi", "R_warp", "test", "RECT_A", "RECT_B",
-                     "interpret", "dim_max", "H_total", "warp_variant"),
+                     "interpret", "dim_max", "H_total", "warp_variant",
+                     "warp_pipe"),
 )(_pixel_stage)
 
 

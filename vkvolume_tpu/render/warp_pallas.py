@@ -419,7 +419,8 @@ def _resample_rows_reference(src_chw, pos):
 
 def warp_two_pass(chans: jax.Array, xa: jax.Array, gy_t: jax.Array,
                   *, RECT_A: int, RECT_B: int, scales=None,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  pipeline: bool | None = None) -> jax.Array:
     """Projective warp via two row-aligned resamples + transposes.
 
     chans: (C, Hi, Wi) grid image; xa: (Hi, W) pass-A positions;
@@ -439,17 +440,22 @@ def warp_two_pass(chans: jax.Array, xa: jax.Array, gy_t: jax.Array,
         sc = jnp.asarray(scales, jnp.float32)[:, None, None]
         enc = jnp.round(
             jnp.clip(chans * sc, 0.0, 65535.0)).astype(jnp.uint16)
-        t = resample_rows(enc, xa, RECT=RECT_A, encode_out=True)
-        out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B)
+        t = resample_rows(enc, xa, RECT=RECT_A, encode_out=True,
+                          pipeline=pipeline)
+        out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B,
+                              pipeline=pipeline)
         return jnp.swapaxes(out_t, 1, 2) / sc              # (C, Hp, W)
-    t = resample_rows(chans, xa, RECT=RECT_A)              # (C, Hi, W)
-    out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B)
+    t = resample_rows(chans, xa, RECT=RECT_A,
+                      pipeline=pipeline)                   # (C, Hi, W)
+    out_t = resample_rows(jnp.swapaxes(t, 1, 2), gy_t, RECT=RECT_B,
+                          pipeline=pipeline)
     return jnp.swapaxes(out_t, 1, 2)                       # (C, Hp, W)
 
 
 def warp_two_pass_b(chans: jax.Array, yb: jax.Array, gx_p: jax.Array,
                     *, RECT_A: int, RECT_B: int, scales=None,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    pipeline: bool | None = None) -> jax.Array:
     """Column-first projective warp (the transposed Catmull-Smith order;
     picked by the plan when the row-first order degenerates — see
     plan.two_pass_warp_plan).
@@ -466,10 +472,13 @@ def warp_two_pass_b(chans: jax.Array, yb: jax.Array, gx_p: jax.Array,
         sc = jnp.asarray(scales, jnp.float32)[:, None, None]
         enc = jnp.round(
             jnp.clip(src * sc, 0.0, 65535.0)).astype(jnp.uint16)
-        t = resample_rows(enc, yb, RECT=RECT_A, encode_out=True)
-        return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B) / sc
-    t = resample_rows(src, yb, RECT=RECT_A)
-    return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B)
+        t = resample_rows(enc, yb, RECT=RECT_A, encode_out=True,
+                          pipeline=pipeline)
+        return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B,
+                             pipeline=pipeline) / sc
+    t = resample_rows(src, yb, RECT=RECT_A, pipeline=pipeline)
+    return resample_rows(jnp.swapaxes(t, 1, 2), gx_p, RECT=RECT_B,
+                         pipeline=pipeline)
 
 
 def required_R(gx, gy, interpret_ok: bool = True) -> int | None:
