@@ -133,6 +133,36 @@ def test_plan_prefers_better_conditioned_variant():
     assert "B" in variants, counts
 
 
+@pytest.mark.parametrize("shape,W,H,bound", [
+    ((795, 1024, 1024), 1200, 1200, 14e6),   # snake, CSV protocol size
+    ((442, 492, 492), 1200, 1200, 10e6),     # present
+])
+def test_plan_cost_bounded_other_datasets(shape, W, H, bound):
+    """The cap-relief rescue must hold for the non-beetle benchmark
+    shapes too (snake is the largest volume; its pre-rescue handover
+    plans were the worst offenders)."""
+    from vkvolume_tpu.bench.harness import benchmark_camera
+    from vkvolume_tpu.engine import VolumeOptions, from_array
+    from vkvolume_tpu.render import make_uniforms
+    from vkvolume_tpu.render import sweep_pallas as sp
+
+    d, h, w = shape
+    v = from_array(np.zeros(shape, np.uint8),
+                   VolumeOptions(intensity_min=0.1), block_size=4)
+    v.set_scale((100.0 / max(shape),) * 3)
+
+    def vshape(p):
+        return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
+
+    for az in (30, 50, 70, 90):
+        cam = benchmark_camera(aspect=W / H, azimuth=float(az))
+        u = make_uniforms(cam, v.node_transform, v.image_transform, 50.0,
+                          (4, 4, 4))
+        view, plan = sp.select_view_plan(u, H, W, vshape)
+        assert plan is not None, az
+        assert sp._plan_cost(plan) < bound, (az, sp._plan_cost(plan))
+
+
 def test_plan_cost_stays_rescued_over_orbit():
     """Regression lock for the cap-relief rescue (wide brick rects): no
     benchmark-class pose may fall back to a kernel-cap-inflated grid.
