@@ -399,3 +399,23 @@ def test_brick_spec_failure_falls_to_per_slab_kernel():
     assert isinstance(noblk, dict), noblk
     assert noblk.get("R_brick") is None          # per-slab kernel plan
     assert noblk.get("R_sweep") is not None
+
+
+def test_stale_octant_combines_evicted_on_rebuild():
+    """Each cached occupancy/octant combine is a full transposed u8 volume
+    on device; a TF edit (map rebuild) must evict combines of superseded
+    builds or an interactive session leaks device memory per edit."""
+    eng, v, _ = _engine("sweep")
+    eng.render(CAM, 32, 32)
+    occ_keys = [k for k in v._sweep_cache
+                if isinstance(k, tuple) and k[0] == "occ"]
+    assert len(occ_keys) == 1
+    v0 = occ_keys[0][2]
+    for imin in (0.15, 0.2, 0.25):
+        v.options.intensity_min = imin
+        eng.update_transfer_function(v, timed_runs=1)
+        eng.render(CAM, 32, 32)
+    occ_keys = [k for k in v._sweep_cache
+                if isinstance(k, tuple) and k[0] == "occ"]
+    assert len(occ_keys) == 1
+    assert occ_keys[0][2] > v0

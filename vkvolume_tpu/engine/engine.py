@@ -704,9 +704,18 @@ class Engine:
                 octs = _live_octants(view)
             # Keyed on a monotonic rebuild counter, not id() (array ids can
             # be recycled after GC, silently serving stale maps).
-            occ_key = ("occ", p, getattr(volume, "_maps_version", 0), octs)
+            ver = getattr(volume, "_maps_version", 0)
+            occ_key = ("occ", p, ver, octs)
             occ_t = cache.get(occ_key)
             if occ_t is None:
+                # Evict combines of superseded map builds: each is a full
+                # transposed u8 volume on device, and a long interactive
+                # session (one rebuild per TF edit) would otherwise leak
+                # device memory per edit.
+                for k in [k for k in cache
+                          if isinstance(k, tuple) and k[0] == "occ"
+                          and k[2] != ver]:
+                    del cache[k]
                 maps = volume.dist_maps
                 src = maps[octs[0]]
                 for i in octs[1:]:
