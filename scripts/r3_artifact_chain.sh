@@ -10,8 +10,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
-smoke_done()       { [ -s /tmp/r3_smoke.json ] && \
-                     [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 8 ]; }
+# Smoke is done when all 8 variants ran and every one is ok — or after a
+# second attempt (a post-outage flaky relay can fail a variant that would
+# compile fine; the persistent compile cache makes the retry cheap).
+smoke_done() {
+  [ -s /tmp/r3_smoke.json ] || return 1
+  [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 8 ] || return 1
+  if [ "$(grep -c '"ok"' /tmp/r3_smoke.json)" -ge 8 ]; then return 0; fi
+  [ "$(cat /tmp/r3_smoke_attempts 2>/dev/null || echo 0)" -ge 2 ]
+}
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }
 orbit_done()       { [ -s /tmp/orbit_r3_new.json ]; }
 interactive_done() { [ -s docs/interactive_r3.json ]; }
@@ -50,9 +57,11 @@ for i in $(seq 1 400); do
   fi
   log "attempt $i: relay healthy"
   if ! smoke_done; then
-    log "attempt $i: kernel smoke"
+    n=$(cat /tmp/r3_smoke_attempts 2>/dev/null || echo 0)
+    log "attempt $i: kernel smoke (try $((n + 1)))"
     timeout 2700 python scripts/r3_smoke_kernels.py \
-      > /tmp/smoke_try.log 2>&1
+      > /tmp/smoke_try.log 2>&1 \
+      && echo $((n + 1)) > /tmp/r3_smoke_attempts
     continue
   fi
   rect_guard
