@@ -169,3 +169,58 @@ def test_volume_sharded_march_skipmode_none():
     a = np.asarray(single.color)
     b = np.asarray(out.color)
     assert np.abs(a - b).max() < 0.06
+
+
+@pytest.mark.parametrize("ert", [False, True])
+def test_volume_sharded_production_sweep(ert):
+    """TP production path (parallel.sweep_volume_sharded): per-device
+    plane slabs through the UNCHANGED brick kernel in rebased local
+    texture space, over-composed in slab order — must match the
+    single-device brick sweep of the same plan (exactly up to f32
+    rebasing; with ERT, up to the (1-alpha) <= 0.01 cross-shard tail)."""
+    from test_sweep import _frame_setup
+
+    from vkvolume_tpu.parallel import sweep_volume_sharded
+    from vkvolume_tpu.render import sweep_bricks as sb
+    from vkvolume_tpu.render import sweep_pallas as sp
+
+    vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(25.0)
+    H, W = rays.valid.shape
+    Np, Sv, Su = vol_t.shape
+
+    mesh = make_mesh(8)
+    out = sweep_volume_sharded(
+        mesh, vol_t, dist_t, tf, u, pvm,
+        p_axis=p, height=H, width=W, ert=ert, interpret=True,
+        dist_leap=True)
+
+    # Single-device reference with the IDENTICAL plan and grid fields.
+    view, plan = sp.select_view_plan(u, H, W, lambda q: (Np, Sv, Su))
+    assert plan.get("R_brick") is not None
+    sgn = 1 if plan["sgn_p"] > 0 else -1
+    Hi, Wi = plan["Hi"], plan["Wi"]
+    gyi = jax.lax.broadcasted_iota(jnp.float32, (Hi, Wi), 0)
+    gxi = jax.lax.broadcasted_iota(jnp.float32, (Hi, Wi), 1)
+    wu_g = sp._mob_fwd(plan["wu0"], plan["dwu"], plan.get("cu") or 0.0,
+                       gxi + 0.5)
+    wv_g = sp._mob_fwd(plan["wv0"], plan["dwv"], plan.get("cv") or 0.0,
+                       gyi + 0.5)
+    grid = sb.grid_fields(u, wu_g, wv_g, sgn, p, max(Np, Sv, Su), Np)
+    ref = sb._sweep_bricks_jit(
+        vol_t, dist_t, tf, None, u, pvm, None,
+        (wu_g, wv_g) + grid[:2] + grid[3:4] + grid[2:3],
+        p_axis=p, R=plan["R_brick"], ert=ert, test=None,
+        count_samples=False, n_slabs=Np, sgn=sgn,
+        tile_h=plan["tile_h"], span_blks=plan["span_blks"],
+        rect_w=plan.get("rect_w", 256), interpret=True, dist_leap=True)
+
+    rc = np.asarray(ref.color)
+    oc = np.asarray(out.color)
+    assert rc[..., 3].max() > 0.3
+    tol = 0.011 if ert else 2e-3
+    assert np.abs(oc - rc).max() < tol, np.abs(oc - rc).max()
+    # Depth: nearest hit must survive the fold (hit sets only).
+    rd, od = np.asarray(ref.depth), np.asarray(out.depth)
+    m = (rd != 0) & (od != 0)
+    np.testing.assert_allclose(od[m], rd[m], atol=1e-3)
+    assert ((rd != 0) == (od != 0)).mean() > 0.995

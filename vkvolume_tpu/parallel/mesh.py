@@ -297,3 +297,197 @@ def march_sharded(
         mesh,
     )
     return march(vol, grad, maps, tf_r, rays_s, bs, pvm, **static_options)
+
+
+def sweep_volume_sharded(
+    mesh: Mesh,
+    vol_t,
+    occupancy_t,
+    tf,
+    uniforms,
+    proj_view_model,
+    grad_t=None,
+    *,
+    p_axis: int,
+    height: int,
+    width: int,
+    ert: bool = True,
+    interpret: bool = False,
+    dist_leap: bool = False,
+) -> RenderOutput:
+    """Volume-sharded (TP) PRODUCTION path: the w-grid brick sweep runs on
+    per-device plane slabs of the (p-transposed) volume and the segment
+    grids compose with the over operator — the tensor-parallel analogue of
+    ``march_volume_sharded`` for the production renderer (SURVEY §2.3; the
+    reference is single-GPU, ``render_frame_sharded`` shards rays).
+
+    No kernel changes: each device renders its slab through the UNCHANGED
+    brick kernel on a LOCAL texture space. With the default aligned
+    sampling (n_slabs == Np) the affine re-basing is exact:
+
+        s' = (s·Np − z0) / Np_loc         (slab/plane coordinates)
+        o_p' = (o_p·Np − z0) / Np_loc,  t' = t·Np/Np_loc
+        wu' = wu·Np_loc/Np  (so wu'·t' == wu·t — u/v sampling unchanged)
+
+    ``kappa`` (the opacity-correction step length) stays GLOBAL, so each
+    segment composites exactly the samples the single-device sweep takes in
+    its s-range; segment over-composition is then exact up to ERT's
+    cross-shard tail (an earlier shard's saturated alpha multiplies later
+    segments by (1−α) ≤ 0.01 instead of skipping them — the ERT
+    approximation bound itself).
+
+    The occupancy maps are sliced per shard on map-plane boundaries (shard
+    edges are rounded to ``bp_p``; the local volume is padded to a whole
+    number of map planes, padded occupancy = EMPTY). Depth comes from a
+    per-shard pvm composed with the local→global texture affine, so clip
+    depths are globally correct before the nearest-hit fold."""
+    import dataclasses as _dc
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..render import sweep_bricks as sb
+    from ..render import sweep_pallas as sp
+    from ..render.sweep import _SLICE_AXES
+
+    f = jnp.float32
+    n = int(mesh.devices.size)
+    Np, Sv, Su = vol_t.shape
+    n_slabs = Np                       # aligned sampling only (default)
+
+    view, plan = sp.select_view_plan(
+        uniforms, height, width,
+        lambda q: (Np, Sv, Su))        # vol_t is already p-transposed
+    if view is None or view.get("mixed") or plan is None:
+        raise sp.PallasUnsupported("view exceeds w-grid kernel limits")
+    if plan.get("R_brick") is None:
+        raise sp.PallasUnsupported("brick kernel infeasible for this view")
+    sgn = 1 if plan["sgn_p"] > 0 else -1
+
+    # ---- shard geometry (host): map-plane-aligned slab edges + halo ----
+    mp = occupancy_t.shape[0]
+    bp = -(-Np // mp)                  # voxel planes per map plane
+    Pz = -(-(-(-Np // n)) // bp) * bp  # slab planes per shard (bp-aligned)
+    HALO = sb.BRICK + 1
+    z0s = [min(d * Pz, Np) for d in range(n)]
+    z1s = [min(z0 + Pz, Np) for z0 in z0s]
+    # One static local size for every shard (shard_map needs equal shapes):
+    # planes [z0, z1 + HALO) clamped, padded to a whole number of map
+    # planes.
+    np_loc = -(-(Pz + HALO) // bp) * bp
+    idx = np.clip(
+        np.arange(n)[:, None] * Pz + np.arange(np_loc)[None, :], 0, Np - 1)
+    slabs = jnp.asarray(vol_t)[idx]                    # (n, np_loc, Sv, Su)
+    # Clamp-padding would duplicate plane Np-1 past the volume end; the
+    # occupancy pad below marks those planes EMPTY so they are never
+    # sampled.
+    grad_slabs = (jnp.asarray(grad_t)[idx] if grad_t is not None else None)
+    mp_loc = np_loc // bp
+    midx = np.arange(n)[:, None] * (Pz // bp) + np.arange(mp_loc)[None, :]
+    in_rng_m = midx < mp
+    occ_slabs = jnp.where(
+        jnp.asarray(in_rng_m)[..., None, None],
+        jnp.asarray(occupancy_t)[np.clip(midx, 0, mp - 1)],
+        jnp.uint8(255),                                # padded planes empty
+    )                                                  # (n, mp_loc, mv, mu)
+    z0_arr = jnp.asarray(z0s, jnp.int32)
+    z1_arr = jnp.asarray(z1s, jnp.int32)
+
+    v_ax, u_ax = _SLICE_AXES[p_axis]
+    VOL = VOL_AXIS
+
+    def body(slab, grad_slab, occ_slab, tf_, u_, pvm):
+        d_idx = jax.lax.axis_index(VOL)
+        slab = slab[0]
+        occ_slab = occ_slab[0]
+        grad_sl = None if grad_slab is None else grad_slab[0]
+        z0 = z0_arr[d_idx].astype(f)
+        z1 = z1_arr[d_idx].astype(f)
+        scale = f(Np) / f(np_loc)                      # global→local s
+
+        # Global w-grid fields (identical on every device), then rebased.
+        Hi, Wi = plan["Hi"], plan["Wi"]
+        gyi = jax.lax.broadcasted_iota(f, (Hi, Wi), 0)
+        gxi = jax.lax.broadcasted_iota(f, (Hi, Wi), 1)
+        wu_g = sp._mob_fwd(plan["wu0"], plan["dwu"], plan.get("cu", 0.0) or
+                           0.0, gxi + 0.5)
+        wv_g = sp._mob_fwd(plan["wv0"], plan["dwv"], plan.get("cv", 0.0) or
+                           0.0, gyi + 0.5)
+        s_lo, s_hi, cov, kappa = sb.grid_fields(
+            u_, wu_g, wv_g, sgn, p_axis, max(Np, Sv, Su), n_slabs)
+        # Restrict to the shard's s-range and rebase into local texture
+        # coordinates (0.25 local-slab margin keeps halo slabs excluded
+        # under f32 rounding).
+        lo_g = z0 / f(Np)
+        hi_g = z1 / f(Np)
+        s_lo_c = jnp.maximum(s_lo, lo_g)
+        s_hi_c = jnp.minimum(s_hi, hi_g)
+        cov_d = cov & (s_lo_c <= s_hi_c)
+        s_lo_l = (s_lo_c * f(Np) - z0) / f(np_loc)
+        s_hi_l = jnp.minimum((s_hi_c * f(Np) - z0) / f(np_loc),
+                             (z1 - z0 - 0.25) / f(np_loc))
+        wu_l = wu_g / scale
+        wv_l = wv_g / scale
+
+        o = u_.cam_pos_tex
+        o_p_l = (o[p_axis] * f(Np) - z0) / f(np_loc)
+        o_l = o.at[p_axis].set(o_p_l)
+        u_loc = _dc.replace(u_, cam_pos_tex=o_l)
+
+        # Local→global texture affine for the depth projection: global
+        # p-coordinate = local·(np_loc/Np) + z0/Np; u/v unchanged. pvm
+        # consumes GLOBAL texture coords (center-shifted), so compose.
+        A = jnp.zeros((4, 4), f)
+        A = A.at[u_ax, u_ax].set(1.0).at[v_ax, v_ax].set(1.0)
+        A = A.at[p_axis, p_axis].set(f(np_loc) / f(Np))
+        A = A.at[p_axis, 3].set(z0 / f(Np))
+        A = A.at[3, 3].set(1.0)
+        # _sweep_bricks_jit's epilogue maps pen−0.5 through pvm; in local
+        # coords pen_l−0.5 must first map to pen_g−0.5:
+        # pen_g − 0.5 = A·(pen_l) − 0.5 = A·((pen_l − 0.5) + 0.5) − 0.5.
+        shift = jnp.eye(4, dtype=f).at[:3, 3].set(0.5)
+        unshift = jnp.eye(4, dtype=f).at[:3, 3].set(-0.5)
+        pvm_l = pvm @ (unshift @ A @ shift)
+
+        out = sb._sweep_bricks_jit(
+            slab, occ_slab, tf_, None, u_loc, pvm_l, grad_sl,
+            (wu_l, wv_l, s_lo_l, s_hi_l, kappa, cov_d),
+            p_axis=p_axis, R=plan["R_brick"], ert=ert, test=None,
+            count_samples=False, n_slabs=np_loc, sgn=sgn,
+            tile_h=plan["tile_h"], span_blks=plan["span_blks"],
+            rect_w=plan.get("rect_w", 256),
+            interpret=interpret, dist_leap=dist_leap,
+        )
+        return jax.tree.map(lambda x: x[None], out)
+
+    if grad_slabs is None:
+        body_fn = lambda s, o_, t, u_, pv: body(s, None, o_, t, u_, pv)
+        args = (slabs, occ_slabs, tf, uniforms, proj_view_model)
+        in_specs = (P(VOL), P(VOL), P(), P(), P())
+    else:
+        body_fn = body
+        args = (slabs, grad_slabs, occ_slabs, tf, uniforms,
+                proj_view_model)
+        in_specs = (P(VOL), P(VOL), P(VOL), P(), P(), P())
+    vol_mesh = Mesh(mesh.devices, (VOL,))
+    parts = jax.shard_map(
+        body_fn, mesh=vol_mesh, in_specs=in_specs,
+        out_specs=jax.tree.map(lambda _: P(VOL),
+                               _render_output_spec_tree()),
+        check_vma=False,
+    )(*args)
+
+    # Ordered over-composition: sgn > 0 ⇒ shard 0 is nearest (static).
+    order = range(n) if sgn > 0 else range(n - 1, -1, -1)
+    Hi, Wi = plan["Hi"], plan["Wi"]
+    color = jnp.zeros((Hi, Wi, 4), f)
+    depth = jnp.zeros((Hi, Wi), f)
+    nsamp = jnp.zeros((Hi, Wi), jnp.int32)
+    for k in order:
+        color = color + (1.0 - color[..., 3:4]) * parts.color[k]
+        depth = jnp.where(depth != 0.0, depth, parts.depth[k])
+        nsamp = nsamp + parts.num_volume_samples[k]
+    zi = jnp.zeros((Hi, Wi), jnp.int32)
+    return RenderOutput(color=color, depth=depth, num_volume_samples=nsamp,
+                        num_distance_samples=zi, num_empty_samples=zi,
+                        iterations=parts.iterations.max(axis=0))
