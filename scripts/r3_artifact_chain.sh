@@ -10,13 +10,13 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
-# Smoke is done when all 8 variants ran and every one is ok — or after a
+# Smoke is done when all 9 variants ran and every one is ok — or after a
 # second attempt (a post-outage flaky relay can fail a variant that would
 # compile fine; the persistent compile cache makes the retry cheap).
 smoke_done() {
   [ -s /tmp/r3_smoke.json ] || return 1
-  [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 8 ] || return 1
-  if [ "$(grep -c '"ok"' /tmp/r3_smoke.json)" -ge 8 ]; then return 0; fi
+  [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 9 ] || return 1
+  if [ "$(grep -c '"ok"' /tmp/r3_smoke.json)" -ge 9 ]; then return 0; fi
   [ "$(cat /tmp/r3_smoke_attempts 2>/dev/null || echo 0)" -ge 2 ]
 }
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }

@@ -73,7 +73,7 @@ def _brick_inputs():
         grad_magnitude_modifier=jnp.asarray(1.0, f32),
         use_gradient=False,
     )
-    H, W = 16, 256
+    H, W = 32, 256
     gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     wu = (gx / W - 0.5) * 0.4          # column-only
@@ -87,12 +87,13 @@ def _brick_inputs():
     return sb, vol_t, occ_t, tf, u, pvm, grid, Np
 
 
-def brick(rect_w, tent_prec="highest", tile_h=16, R=24):
+def brick(rect_w, tent_prec="highest", tile_h=16, R=24, span_blks=2):
     sb, vol_t, occ_t, tf, u, pvm, grid, Np = _brick_inputs()
     out = sb._sweep_bricks_jit(
         vol_t, occ_t, tf, None, u, pvm, None, grid,
         p_axis=2, R=R, ert=True, test=None, count_samples=False,
-        n_slabs=Np, sgn=1, tile_h=tile_h, span_blks=2, dist_leap=True,
+        n_slabs=Np, sgn=1, tile_h=tile_h, span_blks=span_blks,
+        dist_leap=True,
         rect_w=rect_w, tent_prec=tent_prec,
         interpret=os.environ.get("SMOKE_INTERPRET") == "1")
     v = float(np.asarray(out.color).sum())
@@ -117,6 +118,10 @@ def main():
     step("brick_rect384", lambda: brick(384))
     step("brick_rect512", lambda: brick(512))
     step("brick_rect384_r96", lambda: brick(384, R=96))
+    # The headline pose's exact kernel class (plan az=30: 32-row tiles,
+    # 6-block tent windows, 64-row rect, 384-lane rect).
+    step("brick_headline_class",
+         lambda: brick(384, tile_h=32, R=64, span_blks=6))
     step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
     step("warp_full_src_rect", warp_full_src)
