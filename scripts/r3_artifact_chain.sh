@@ -10,13 +10,17 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/r3_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
-# Smoke is done when all 9 variants ran and every one is ok — or after a
+# The retry counter belongs to THIS chain invocation: a stale counter from
+# a prior run would silently skip the one retry smoke_done grants.
+rm -f /tmp/r3_smoke_attempts
+
+# Smoke is done when all 10 variants ran and every one is ok — or after a
 # second attempt (a post-outage flaky relay can fail a variant that would
 # compile fine; the persistent compile cache makes the retry cheap).
 smoke_done() {
   [ -s /tmp/r3_smoke.json ] || return 1
-  [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 9 ] || return 1
-  if [ "$(grep -c '"ok"' /tmp/r3_smoke.json)" -ge 9 ]; then return 0; fi
+  [ "$(grep -c ':' /tmp/r3_smoke.json)" -ge 10 ] || return 1
+  if [ "$(grep -c '"ok"' /tmp/r3_smoke.json)" -ge 10 ]; then return 0; fi
   [ "$(cat /tmp/r3_smoke_attempts 2>/dev/null || echo 0)" -ge 2 ]
 }
 static_done()      { [ -s /tmp/bench_static_r3.json ]; }
@@ -42,6 +46,13 @@ rect_guard() {
       unset VKV_MAX_BRICK_R
     else
       export VKV_MAX_BRICK_R=64
+    fi
+    # The bench's headline pose emits exactly the th32/sb6/R64/rect384
+    # class; if THAT combination failed both smoke attempts (even with
+    # rect384 alone ok), pin the plans back to the proven mid-round
+    # 256-lane geometry rather than hand the bench a known-bad kernel.
+    if ! grep -q '"brick_headline_class": "ok"' /tmp/r3_smoke.json; then
+      export VKV_MAX_RECT=256
     fi
   fi
 }

@@ -113,6 +113,31 @@ def warp_full_src(pipeline=False):
     assert np.isfinite(float(np.asarray(out).sum()))
 
 
+def warp_pipelined_prod():
+    """The PRODUCTION pipelined-warp class: RECT < Ws, a multi-step grid
+    and per-tile DYNAMIC nonzero 128-aligned rect bases prefetched from
+    SMEM (the full-source case above degenerates to base 0 everywhere —
+    dynamic-offset DMA is this build's known device-fault class,
+    CLAUDE.md). Verdict also checks equality against the inline kernel."""
+    from vkvolume_tpu.render import warp_pallas as wp
+
+    rng = np.random.default_rng(2)
+    Ws, Wo, H = 1152, 512, 16
+    src = jnp.asarray(rng.random((3, H, Ws), np.float32))
+    # Column tile k samples around base ~240·k: spans fit RECT-132 but the
+    # aligned bases differ per tile (0/128/384/640).
+    cols = [rng.uniform(240.0 * k, 240.0 * k + 200.0, (H, 128))
+            for k in range(Wo // 128)]
+    pos = jnp.asarray(np.concatenate(cols, axis=1).astype(np.float32))
+    interp = os.environ.get("SMOKE_INTERPRET") == "1"
+    out = np.asarray(wp.resample_rows(src, pos, RECT=384, pipeline=True,
+                                      interpret=interp))
+    ref = np.asarray(wp.resample_rows(src, pos, RECT=384, pipeline=False,
+                                      interpret=interp))
+    assert np.isfinite(out.sum())
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def main():
     step("brick_rect256", lambda: brick(256))
     step("brick_rect384", lambda: brick(384))
@@ -126,6 +151,7 @@ def main():
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
     step("warp_full_src_rect", warp_full_src)
     step("warp_pipelined", lambda: warp_full_src(pipeline=True))
+    step("warp_pipelined_prod", warp_pipelined_prod)
     print(json.dumps(RESULTS, indent=1))
 
 

@@ -148,6 +148,7 @@ class Engine:
         # Per-renderer frame counts: measures how often the fast path
         # actually runs vs the fallbacks (the plan can reject extreme views).
         self.renderer_counts = {"pallas": 0, "sweep": 0, "marcher": 0}
+        self.last_renderer = None          # set by every rendered frame
         # (p_axis, sgn) -> frozen plan statics (bench.freeze_orbit_statics):
         # pins every pose in a camera orbit to ONE kernel specialisation.
         self.plan_force: dict = {}
@@ -398,8 +399,13 @@ class Engine:
             # Mixed principal-axis signs (camera inside the volume, wide
             # FOV): one global slab order cannot composite every ray
             # front-to-back — use the per-ray marcher for this frame.
-            self.last_renderer = "marcher"
-            self.renderer_counts["marcher"] += 1
+            pass
+        # Reached both by an explicit renderer="marcher" engine and by the
+        # mixed-sign fallback above — count it here so last_renderer /
+        # renderer_counts exist for EVERY rendered frame, not only the
+        # sweep paths.
+        self.last_renderer = "marcher"
+        self.renderer_counts["marcher"] += 1
         uniforms = make_uniforms(
             camera,
             volume.node_transform,

@@ -342,7 +342,6 @@ def sweep_volume_sharded(
     per-shard pvm composed with the local→global texture affine, so clip
     depths are globally correct before the nearest-hit fold."""
     import dataclasses as _dc
-    import functools
 
     import jax.numpy as jnp
 
@@ -355,9 +354,12 @@ def sweep_volume_sharded(
     Np, Sv, Su = vol_t.shape
     n_slabs = Np                       # aligned sampling only (default)
 
+    # vol_t is PRE-transposed for p_axis, so only that axis may plan
+    # (a cheaper off-axis plan would be applied to the wrong
+    # transposition); shape_for is therefore only ever called with p_axis.
     view, plan = sp.select_view_plan(
         uniforms, height, width,
-        lambda q: (Np, Sv, Su))        # vol_t is already p-transposed
+        lambda q: (Np, Sv, Su), axes=(p_axis,))
     if view is None or view.get("mixed") or plan is None:
         raise sp.PallasUnsupported("view exceeds w-grid kernel limits")
     if plan.get("R_brick") is None:
@@ -377,19 +379,29 @@ def sweep_volume_sharded(
     np_loc = -(-(Pz + HALO) // bp) * bp
     idx = np.clip(
         np.arange(n)[:, None] * Pz + np.arange(np_loc)[None, :], 0, Np - 1)
-    slabs = jnp.asarray(vol_t)[idx]                    # (n, np_loc, Sv, Su)
+    # Slab gather on HOST, then a device_put SHARDED over the mesh: each
+    # device receives only its own (np_loc, Sv, Su) slab. Gathering on
+    # device (jnp.asarray(vol_t)[idx]) would materialise all n slab copies
+    # (~(1 + HALO/Pz)× the volume) on the default device first — defeating
+    # the TP mode's purpose of holding volumes one chip cannot.
+    vol_mesh = Mesh(mesh.devices, (VOL_AXIS,))
+    shard = jax.sharding.NamedSharding(vol_mesh, P(VOL_AXIS))
+    vol_h = np.asarray(vol_t)
+    slabs = jax.device_put(vol_h[idx], shard)          # (n, np_loc, Sv, Su)
     # Clamp-padding would duplicate plane Np-1 past the volume end; the
     # occupancy pad below marks those planes EMPTY so they are never
     # sampled.
-    grad_slabs = (jnp.asarray(grad_t)[idx] if grad_t is not None else None)
+    grad_slabs = (jax.device_put(np.asarray(grad_t)[idx], shard)
+                  if grad_t is not None else None)
     mp_loc = np_loc // bp
     midx = np.arange(n)[:, None] * (Pz // bp) + np.arange(mp_loc)[None, :]
     in_rng_m = midx < mp
-    occ_slabs = jnp.where(
-        jnp.asarray(in_rng_m)[..., None, None],
-        jnp.asarray(occupancy_t)[np.clip(midx, 0, mp - 1)],
-        jnp.uint8(255),                                # padded planes empty
-    )                                                  # (n, mp_loc, mv, mu)
+    occ_slabs = jax.device_put(
+        np.where(
+            in_rng_m[..., None, None],
+            np.asarray(occupancy_t)[np.clip(midx, 0, mp - 1)],
+            np.uint8(255),                             # padded planes empty
+        ), shard)                                      # (n, mp_loc, mv, mu)
     z0_arr = jnp.asarray(z0s, jnp.int32)
     z1_arr = jnp.asarray(z1s, jnp.int32)
 
@@ -469,7 +481,6 @@ def sweep_volume_sharded(
         args = (slabs, grad_slabs, occ_slabs, tf, uniforms,
                 proj_view_model)
         in_specs = (P(VOL), P(VOL), P(VOL), P(), P(), P())
-    vol_mesh = Mesh(mesh.devices, (VOL,))
     parts = jax.shard_map(
         body_fn, mesh=vol_mesh, in_specs=in_specs,
         out_specs=jax.tree.map(lambda _: P(VOL),

@@ -870,10 +870,13 @@ def stats_to_dict(stats_vec) -> dict:
 
 
 def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
-                     shape_for, max_oversample: float = 2.5):
+                     shape_for, max_oversample: float = 2.5, axes=None):
     """Cost-based principal-axis selection: plan every single-signed
     candidate axis (``analyze_view``'s ``unmixed_axes``) and keep the
-    cheapest. Near the axis handover (the orbit's diagonal band) the
+    cheapest. ``axes`` (optional collection) restricts the candidates —
+    callers whose volume is PRE-transposed for one axis (the TP sharded
+    sweep) must pass ``axes=(p_axis,)`` or a cheaper off-axis win would be
+    silently applied to the wrong transposition. Near the axis handover (the orbit's diagonal band) the
     largest-|mean| axis explodes (wu = d_u/d_p → ±∞ as d_p → 0 inside the
     frustum: grids to ~35M cells, XLA-warp tiers) while the runner-up axis
     plans a tame bricked grid — measured 5-30× cheaper.
@@ -929,6 +932,8 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
     cands = []
     for ax, sgn_ax in view0.get("unmixed_axes") or [(view0["p_axis"],
                                                      view0["sgn"])]:
+        if axes is not None and ax not in axes:
+            continue
         view = (view0 if ax == view0["p_axis"]
                 else plan_mod.analyze_view(uniforms, height, width,
                                            restrict=(ax, sgn_ax)))
