@@ -86,3 +86,45 @@ def test_scene_toggle_changes_frame(viewer):
     # The hall fills the previously-black background.
     assert (a.reshape(-1, 3).max(1) == 0).mean() > 0.2
     assert (b.reshape(-1, 3).max(1) == 0).mean() < 0.02
+
+
+def test_translation_slider_moves_volume(viewer):
+    """tx drag = the reference GUI's per-volume XYZ translation
+    (src/volume_render.cpp:464-468): the rendered blob must move along
+    screen-x, and resetting must restore the original frame (pose cache
+    keys on model_matrix, so stale ray setups would fail this)."""
+    import io
+
+    from PIL import Image
+
+    def centroid_x(png):
+        a = np.asarray(Image.open(io.BytesIO(png))).reshape(-1, 3)
+        w = np.asarray(Image.open(io.BytesIO(png))).shape[1]
+        lum = a.max(1).astype(np.float64).reshape(-1, w)
+        xs = np.arange(w, dtype=np.float64)
+        tot = lum.sum()
+        assert tot > 0
+        return float((lum * xs[None, :]).sum() / tot)
+
+    base, _ = _get(viewer, "/frame.png?azimuth=0&elevation=0&tx=0")
+    moved, _ = _get(viewer, "/frame.png?azimuth=0&elevation=0&tx=30")
+    # az=0 looks down a horizontal axis; +x world maps to screen x.
+    assert abs(centroid_x(moved) - centroid_x(base)) > 2.0
+    back, _ = _get(viewer, "/frame.png?azimuth=0&elevation=0&tx=0")
+    assert back == base
+
+
+def test_set_translation_preserves_scale_and_spin_base():
+    vol = from_array(sphere_shell_volume(16),
+                     VolumeOptions(intensity_min=0.1), block_size=4)
+    vol.set_scale((2.0, 2.0, 2.0))
+    vol.set_translation((5.0, -2.0, 1.0))
+    # Rotation/scale block untouched; translation replaced.
+    assert np.allclose(vol.get_translation(), (5.0, -2.0, 1.0))
+    assert np.allclose(np.asarray(vol.node_transform)[:3, :3],
+                       np.diag([2.0, 2.0, 2.0]))
+    # A spinning volume keeps its (new) position: the captured spin base
+    # is retargeted by set_translation.
+    vol.set_spin(0.3)
+    vol.set_translation((1.0, 2.0, 3.0))
+    assert np.allclose(np.asarray(vol._spin_base)[:3, 3], (1.0, 2.0, 3.0))

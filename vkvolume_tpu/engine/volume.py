@@ -66,6 +66,27 @@ class Volume:
         self.node_transform = math3d.scale(scale_xyz)
         self._spin_base = None
 
+    def get_translation(self) -> np.ndarray:
+        """Node translation component (reference GUI reads it back for the
+        per-volume XYZ drag, src/volume_render.cpp:464)."""
+        return np.asarray(self.node_transform, np.float64)[:3, 3].copy()
+
+    def set_translation(self, xyz) -> None:
+        """Replace the node's translation, preserving its rotation/scale —
+        the reference GUI's per-volume XYZ drag
+        (src/volume_render.cpp:464-468 ``transform.set_translation``). Also
+        retargets the captured spin base so a spinning volume keeps
+        rotating about its new position."""
+        t = np.asarray(xyz, np.float64)
+        m = np.asarray(self.node_transform, np.float64).copy()
+        m[:3, 3] = t
+        self.node_transform = m.astype(np.float32)
+        base = getattr(self, "_spin_base", None)
+        if base is not None:
+            base = np.asarray(base, np.float64).copy()
+            base[:3, 3] = t
+            self._spin_base = base
+
     def set_spin(self, angle_rad: float, axis=(0.0, 1.0, 0.0)) -> None:
         """Node rotation composed over the node's spin-free transform —
         the reference's ``spin_volumes`` animation (one rotation step per
@@ -77,9 +98,16 @@ class Volume:
         if base is None:
             base = self._spin_base = np.asarray(self.node_transform,
                                                 np.float64)
-        self.node_transform = (
-            math3d.rotate(angle_rad, axis).astype(np.float64)
-            @ base).astype(np.float32)
+        # T · R · linear(base): rotate about the node's own position (the
+        # reference's Transform composes translation·rotation·scale, so a
+        # TRANSLATED volume spins in place rather than orbiting the world
+        # origin). Identity-translation bases are unaffected.
+        lin = np.asarray(base, np.float64).copy()
+        t = lin[:3, 3].copy()
+        lin[:3, 3] = 0.0
+        m = math3d.rotate(angle_rad, axis).astype(np.float64) @ lin
+        m[:3, 3] = t
+        self.node_transform = m.astype(np.float32)
 
 
 def from_file(

@@ -46,11 +46,15 @@ _PAGE = """<!doctype html>
 <img id="frame" width="__W__" height="__H__"/>
 <script>
 const P = {imin:__IMIN__, imax:__IMAX__, gmin:__GMIN__, gmax:__GMAX__,
-           azimuth:30, elevation:20, scene:0};
+           azimuth:30, elevation:20, scene:0,
+           tx:__TX__, ty:__TY__, tz:__TZ__};
 const DEFS = [
  ["imin", 0, 1, 0.001], ["imax", 0, 1, 0.001],
  ["gmin", 0, 1, 0.001], ["gmax", 0, 1, 0.001],
- ["azimuth", -180, 180, 1], ["elevation", -89, 89, 1]];
+ ["azimuth", -180, 180, 1], ["elevation", -89, 89, 1],
+ // per-volume XYZ translation (the reference GUI's DragFloat3,
+ // src/volume_render.cpp:464-468)
+ ["tx", -100, 100, 0.5], ["ty", -100, 100, 0.5], ["tz", -100, 100, 0.5]];
 const box = document.getElementById("sliders");
 { // scene checkbox (the reference GUI's render-sponza toggle)
   const row = document.createElement("div"); row.className = "row";
@@ -158,13 +162,17 @@ class ViewerServer:
 
     def page(self) -> str:
         o = self.volume.options
+        t = self.volume.get_translation()
         return (_PAGE
                 .replace("__W__", str(self.width))
                 .replace("__H__", str(self.height))
                 .replace("__IMIN__", repr(o.intensity_min))
                 .replace("__IMAX__", repr(o.intensity_max))
                 .replace("__GMIN__", repr(o.gradient_min))
-                .replace("__GMAX__", repr(o.gradient_max)))
+                .replace("__GMAX__", repr(o.gradient_max))
+                .replace("__TX__", repr(float(t[0])))
+                .replace("__TY__", repr(float(t[1])))
+                .replace("__TZ__", repr(float(t[2]))))
 
     def frame(self, q: dict) -> tuple[bytes, dict]:
         """Apply slider state, render one frame, return (png, headers).
@@ -193,6 +201,15 @@ class ViewerServer:
                     self.volume, timed_runs=1)
                 update_ms = (time.perf_counter() - t0) * 1e3
                 occupied = stats.occupied_voxel_percent
+            t_cur = self.volume.get_translation()
+            t_new = (q.get("tx", float(t_cur[0])),
+                     q.get("ty", float(t_cur[1])),
+                     q.get("tz", float(t_cur[2])))
+            if not np.allclose(t_new, t_cur):
+                # Per-volume XYZ drag (src/volume_render.cpp:464-468); the
+                # engine's pose cache keys on model_matrix, so the move
+                # invalidates cached ray setups by itself.
+                self.volume.set_translation(t_new)
             cam = orbit_camera(
                 radius=self.radius,
                 azimuth_deg=q.get("azimuth", 30.0),
