@@ -128,3 +128,46 @@ def test_set_translation_preserves_scale_and_spin_base():
     vol.set_spin(0.3)
     vol.set_translation((1.0, 2.0, 3.0))
     assert np.allclose(np.asarray(vol._spin_base)[:3, 3], (1.0, 2.0, 3.0))
+
+
+def test_option_controls_route_through_engine(viewer):
+    """The remaining reference GUI controls (volume_render.cpp:447-547):
+    sampling slider triggers the TF-update path, the ESS radio rebuilds
+    maps WITHOUT changing the image (skipping is exact), the Test radio
+    swaps in the diagnostic image, spin advances the node rotation."""
+    eng = viewer.engine
+
+    base, _ = _get(viewer, "/frame.png?azimuth=20&elevation=10")
+    # Sampling edit → update_transfer_function (rebuild timed > 0).
+    samp, h = _get(viewer, "/frame.png?azimuth=20&elevation=10&sampling=2")
+    assert float(h["X-Update-Ms"]) > 0.0
+    assert samp != base
+    assert eng.volumes[0].options.sampling_factor == 2.0
+    # Restore (module-scoped fixture).
+    _get(viewer, "/frame.png?azimuth=20&elevation=10&sampling=1")
+
+    # ESS radio: maps rebuild, image stays (ESS is exact).
+    off, h_off = _get(viewer, "/frame.png?azimuth=20&elevation=10&skipmode=0")
+    assert float(h_off["X-Update-Ms"]) > 0.0
+    assert int(eng.options.skipping_type) == 0
+    import io
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(io.BytesIO(base))).astype(np.int16)
+    b = np.asarray(Image.open(io.BytesIO(off))).astype(np.int16)
+    assert np.abs(a - b).max() <= 1
+    _get(viewer, "/frame.png?azimuth=20&elevation=10&skipmode=2")
+    assert int(eng.options.skipping_type) == 2
+
+    # Test radio: diagnostic image differs; back to none restores.
+    ent, _ = _get(viewer, "/frame.png?azimuth=20&elevation=10&test=1")
+    assert ent != base
+    back, _ = _get(viewer, "/frame.png?azimuth=20&elevation=10&test=0")
+    assert back == base
+
+    # Spin: angle advances the node rotation through the same path.
+    spun, _ = _get(viewer,
+                   "/frame.png?azimuth=20&elevation=10&spinangle=45")
+    assert spun != base
+    _get(viewer, "/frame.png?azimuth=20&elevation=10&spinangle=0")

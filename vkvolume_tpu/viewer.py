@@ -31,6 +31,8 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from .options import SkippingType, Test
+
 _PAGE = """<!doctype html>
 <html><head><title>vkvolume_tpu viewer</title><style>
  body { font-family: sans-serif; margin: 1.2em; background: #111; color: #ddd; }
@@ -47,25 +49,54 @@ _PAGE = """<!doctype html>
 <script>
 const P = {imin:__IMIN__, imax:__IMAX__, gmin:__GMIN__, gmax:__GMAX__,
            azimuth:30, elevation:20, scene:0,
-           tx:__TX__, ty:__TY__, tz:__TZ__};
+           tx:__TX__, ty:__TY__, tz:__TZ__,
+           sampling:__SAMP__, alpha:__ALPHA__, clip:__CLIP__,
+           skipmode:__SKIP__, ert:__ERT__, test:0, spin:0, spinangle:0};
 const DEFS = [
  ["imin", 0, 1, 0.001], ["imax", 0, 1, 0.001],
  ["gmin", 0, 1, 0.001], ["gmax", 0, 1, 0.001],
+ // sampling (0.5-3) / alpha (0-2) / clip (5-500): the reference GUI's
+ // Sampling, Alpha and Clip dist sliders (volume_render.cpp:447-547)
+ ["sampling", 0.5, 3, 0.01], ["alpha", 0, 2, 0.01], ["clip", 5, 500, 1],
  ["azimuth", -180, 180, 1], ["elevation", -89, 89, 1],
  // per-volume XYZ translation (the reference GUI's DragFloat3,
  // src/volume_render.cpp:464-468)
  ["tx", -100, 100, 0.5], ["ty", -100, 100, 0.5], ["tz", -100, 100, 0.5]];
 const box = document.getElementById("sliders");
-{ // scene checkbox (the reference GUI's render-sponza toggle)
+function checkbox(k) {
   const row = document.createElement("div"); row.className = "row";
-  row.innerHTML = `<label>scene</label>
-    <input type="checkbox" id="scene"/>`;
+  row.innerHTML = `<label>${k}</label>
+    <input type="checkbox" id="${k}" ${P[k] ? "checked" : ""}/>`;
   box.appendChild(row);
   row.querySelector("input").addEventListener("input", e => {
-    P.scene = e.target.checked ? 1 : 0;
+    P[k] = e.target.checked ? 1 : 0;
     refresh();
   });
 }
+function radio(k, names) {
+  const row = document.createElement("div"); row.className = "row";
+  row.innerHTML = `<label>${k}</label>` + names.map((nm, i) =>
+    `<label style="width:auto;margin-right:.8em"><input type="radio"
+      name="${k}" value="${i}" ${P[k] == i ? "checked" : ""}/>${nm}</label>`
+  ).join("");
+  box.appendChild(row);
+  row.querySelectorAll("input").forEach(el =>
+    el.addEventListener("input", e => {
+      P[k] = parseInt(e.target.value);
+      refresh();
+    }));
+}
+// scene = render-sponza toggle; ert / spin = the reference checkboxes;
+// skipmode / test = the reference's ESS-method and Test radios.
+checkbox("scene"); checkbox("ert"); checkbox("spin");
+radio("skipmode", ["none", "block", "distance", "aniso"]);
+radio("test", ["none", "entry", "exit", "samples"]);
+// Spin animation: the reference rotates 90 deg/s in update()
+// (volume_render.cpp:256-271); here each tick advances the angle and
+// re-fetches through the same render path.
+setInterval(() => {
+  if (P.spin) { P.spinangle = (P.spinangle + 9) % 360; refresh(); }
+}, 250);
 for (const [k, lo, hi, st] of DEFS) {
   const row = document.createElement("div"); row.className = "row";
   row.innerHTML = `<label>${k}</label>
@@ -172,7 +203,15 @@ class ViewerServer:
                 .replace("__GMAX__", repr(o.gradient_max))
                 .replace("__TX__", repr(float(t[0])))
                 .replace("__TY__", repr(float(t[1])))
-                .replace("__TZ__", repr(float(t[2]))))
+                .replace("__TZ__", repr(float(t[2])))
+                .replace("__SAMP__", repr(o.sampling_factor))
+                .replace("__ALPHA__", repr(o.voxel_alpha_factor))
+                .replace("__CLIP__", repr(self.engine.options.clip_distance))
+                .replace("__SKIP__",
+                         str(int(self.engine.options.skipping_type)))
+                .replace("__ERT__",
+                         "1" if self.engine.options.early_ray_termination
+                         else "0"))
 
     def frame(self, q: dict) -> tuple[bytes, dict]:
         """Apply slider state, render one frame, return (png, headers).
@@ -186,21 +225,42 @@ class ViewerServer:
 
         with self.lock:
             o = self.volume.options
+            eo = self.engine.options
             tf_new = (q.get("imin", o.intensity_min),
                       q.get("imax", o.intensity_max),
                       q.get("gmin", o.gradient_min),
-                      q.get("gmax", o.gradient_max))
+                      q.get("gmax", o.gradient_max),
+                      q.get("sampling", o.sampling_factor),
+                      q.get("alpha", o.voxel_alpha_factor))
             update_ms = 0.0
             occupied = self.last["occupied_pct"]
             if tf_new != (o.intensity_min, o.intensity_max,
-                          o.gradient_min, o.gradient_max):
+                          o.gradient_min, o.gradient_max,
+                          o.sampling_factor, o.voxel_alpha_factor):
                 (o.intensity_min, o.intensity_max,
-                 o.gradient_min, o.gradient_max) = tf_new
+                 o.gradient_min, o.gradient_max,
+                 o.sampling_factor, o.voxel_alpha_factor) = tf_new
                 t0 = time.perf_counter()
                 stats = self.engine.update_transfer_function(
                     self.volume, timed_runs=1)
                 update_ms = (time.perf_counter() - t0) * 1e3
                 occupied = stats.occupied_voxel_percent
+            # ESS-method radio: rebuilds the maps like the reference's
+            # selection callback (volume_render.cpp:512-518).
+            st_new = SkippingType(int(q.get("skipmode", int(
+                eo.skipping_type))))
+            if st_new != eo.skipping_type:
+                t0 = time.perf_counter()
+                self.engine.set_skipping_type(st_new)
+                update_ms += (time.perf_counter() - t0) * 1e3
+            # ERT / Test / Clip: jit static args or cached-pose keys — the
+            # next frame re-specialises, nothing to rebuild.
+            eo.early_ray_termination = q.get(
+                "ert", 1.0 if eo.early_ray_termination else 0.0) > 0.0
+            eo.test = Test(int(q.get("test", int(eo.test))))
+            eo.clip_distance = float(q.get("clip", eo.clip_distance))
+            if "spinangle" in q:
+                self.volume.set_spin(float(np.deg2rad(q["spinangle"])))
             t_cur = self.volume.get_translation()
             t_new = (q.get("tx", float(t_cur[0])),
                      q.get("ty", float(t_cur[1])),
