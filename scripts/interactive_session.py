@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -101,6 +103,57 @@ def main():
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
+
+    # The other GUI edit classes (sampling/translation/spin/ESS-method —
+    # volume_render.cpp:447-547), appended AFTER the core artifact is on
+    # disk: a mid-extras relay failure still leaves the TF sweep complete.
+    # Fresh poses (translation/spin) may pay a new plan or even a Mosaic
+    # specialisation — that cost is the honest interactivity number.
+    if os.environ.get("SESS_EXTRAS", "1") != "0":
+        from vkvolume_tpu.options import SkippingType
+
+        def timed_edit(name, apply_fn, rebuild=False):
+            # update_ms covers the edit application INCLUDING any map
+            # rebuild it triggers itself (set_skipping_type rebuilds
+            # internally; rebuild=True adds the TF path explicitly).
+            t0 = time.perf_counter()
+            apply_fn()
+            if rebuild:
+                eng.update_transfer_function(vol)
+            upd_ms = (time.perf_counter() - t0) * 1e3
+            t1 = time.perf_counter()
+            render_synced()
+            rnd_ms = (time.perf_counter() - t1) * 1e3
+            e = dict(edit=name, update_ms=round(upd_ms, 2),
+                     render_ms=round(rnd_ms, 2),
+                     total_ms=round(upd_ms + rnd_ms, 2),
+                     renderer=eng.last_renderer)
+            print(f"extra {name}: update {upd_ms:.1f} ms render "
+                  f"{rnd_ms:.1f} ms ({eng.last_renderer})",
+                  file=sys.stderr, flush=True)
+            extras.append(e)
+            result["extra_edits"] = extras
+            with open(out_path, "w") as fh:
+                json.dump(result, fh, indent=1)
+
+        extras = []
+        samp0 = vol.options.sampling_factor
+        timed_edit("sampling=1.5", lambda: setattr(
+            vol.options, "sampling_factor", 1.5), rebuild=True)
+        timed_edit(f"sampling={samp0}", lambda: setattr(
+            vol.options, "sampling_factor", samp0), rebuild=True)
+        t0_xyz = vol.get_translation()
+        timed_edit("translate+8x", lambda: vol.set_translation(
+            t0_xyz + np.asarray([8.0, 0.0, 0.0])))
+        timed_edit("translate-back", lambda: vol.set_translation(t0_xyz))
+        timed_edit("spin15", lambda: vol.set_spin(np.deg2rad(15.0)))
+        timed_edit("spin0", lambda: vol.set_spin(0.0))
+        st0 = eng.options.skipping_type
+        timed_edit("skipmode=3", lambda: eng.set_skipping_type(
+            SkippingType.ANISOTROPIC_DISTANCE))
+        timed_edit(f"skipmode={int(st0)}",
+                   lambda: eng.set_skipping_type(st0))
+
     print(json.dumps({k: result[k] for k in
                       ("total_ms_median", "total_ms_max",
                        "renderer_counts")}))
