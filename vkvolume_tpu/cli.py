@@ -30,8 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "(Chebyshev distance-map empty-space skipping)",
     )
     # Reference flags and defaults (src/volume_render.cpp:67-82).
-    p.add_argument("dataset", nargs="?", default=None,
-                   help="raw volume path (with <path>.header sidecar)")
+    p.add_argument("dataset", nargs="*", default=None,
+                   help="raw volume path(s) (each with a <path>.header "
+                        "sidecar); multiple volumes composite in draw "
+                        "order like the reference's "
+                        "<binary_volume_image>... argument "
+                        "(src/volume_render.cpp:95,186)")
     p.add_argument("--imin", type=float, default=0.1)
     p.add_argument("--imax", type=float, default=1.0)
     p.add_argument("--gmin", type=float, default=0.0)
@@ -94,10 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def setup_engine(args):
-    """Engine + volume from parsed CLI args (shared with the viewer).
+    """Engine + volume list from parsed CLI args (shared with the viewer).
 
-    Does NOT add the volume to the engine (callers time that step — it is
-    the reference's load → gradient → map-update pipeline)."""
+    Does NOT add the volumes to the engine (callers time that step — it is
+    the reference's load → gradient → map-update pipeline). Each volume
+    gets its OWN options instance (the reference's per-volume options,
+    src/volume_render.cpp:190-195 — GUI edits must not alias)."""
+    import dataclasses
+
     from .engine import Engine, RenderOptions, from_array, from_file
     from .options import SkippingType, Test, VolumeOptions
 
@@ -124,14 +132,28 @@ def setup_engine(args):
 
         ds = DATASETS[args.synth]
         data = synthesize(ds, scale=args.synth_scale)
-        volume = from_array(data, opts, block_size=args.blocksize,
-                            name=ds.filename)
+        volumes = [from_array(data, opts, block_size=args.blocksize,
+                              name=ds.filename)]
     else:
-        dataset = args.dataset or "stag_beetle_832x832x494.uint16"
-        volume = from_file(dataset, opts, block_size=args.blocksize)
-    d, h, w = volume.density.shape
-    volume.set_scale((100.0 / max(d, h, w),) * 3)
-    return engine, volume
+        paths = args.dataset or ["stag_beetle_832x832x494.uint16"]
+        volumes = [from_file(ds, dataclasses.replace(opts),
+                             block_size=args.blocksize)
+                   for ds in paths]
+    for volume in volumes:
+        # Fit to the viewport: node scale = 100 / (per-world-axis image
+        # scale), the reference's benchmark-mode decompose
+        # (src/volume_render.cpp:224-233: |rotation · scale| of the image
+        # transform). The reference's non-benchmark mode uses a plain 100
+        # with a FREE camera; our CLI camera is a fixed fit-orbit for a
+        # ~100-unit volume, so the fit scaling applies always — without
+        # it, real headers (voxel_size in metres) give sub-unit volumes
+        # that render as a handful of pixels.
+        lin = np.asarray(volume.image_transform, np.float64)[:3, :3]
+        s = np.linalg.norm(lin, axis=0)               # image scale (glm)
+        rot = lin / np.where(s == 0.0, 1.0, s)[None, :]
+        world = np.abs(rot @ s)                       # abs(rotation*scale)
+        volume.set_scale(tuple(100.0 / np.where(world == 0.0, 1.0, world)))
+    return engine, volumes
 
 
 def main(argv=None) -> int:
@@ -145,16 +167,19 @@ def main(argv=None) -> int:
                   scale=args.synth_scale)
         return 0
 
-    engine, volume = setup_engine(args)
+    engine, volumes = setup_engine(args)
 
     t0 = time.perf_counter()
-    stats = engine.add_volume(volume)
-    if stats.gradient_ms is not None:
-        print(f"Updated gradient map in {stats.gradient_ms}ms")
-    if stats.occupied_voxel_percent is not None:
-        print(f"Occupied voxels: {stats.occupied_voxel_percent}% "
-              f"in {stats.count_ms}ms")
-    print(f"Updated occupancy/distance map in {stats.map_update_ms}ms")
+    for volume in volumes:
+        # Per-volume load pipeline + log lines (the reference logs each
+        # volume as it loads, src/volume_render.cpp:186-242).
+        stats = engine.add_volume(volume)
+        if stats.gradient_ms is not None:
+            print(f"Updated gradient map in {stats.gradient_ms}ms")
+        if stats.occupied_voxel_percent is not None:
+            print(f"Occupied voxels: {stats.occupied_voxel_percent}% "
+                  f"in {stats.count_ms}ms")
+        print(f"Updated occupancy/distance map in {stats.map_update_ms}ms")
     print(f"Prepared in {time.perf_counter() - t0:.2f}s")
 
     aspect = args.width / args.height
@@ -168,7 +193,8 @@ def main(argv=None) -> int:
             az = args.azimuth + args.orbit * i
             cam = benchmark_camera(aspect, az, args.elevation)
             if args.spin:
-                volume.set_spin(np.deg2rad(args.spin * i))
+                for volume in volumes:
+                    volume.set_spin(np.deg2rad(args.spin * i))
             out = engine.render(cam, args.width, args.height)
         out.color.block_until_ready()
         dt = time.perf_counter() - t0

@@ -319,11 +319,14 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
-    engine, volume = setup_engine(args)
+    engine, volumes = setup_engine(args)
     t0 = time.perf_counter()
-    engine.add_volume(volume)
+    for volume in volumes:
+        engine.add_volume(volume)
     print(f"Prepared in {time.perf_counter() - t0:.2f}s", flush=True)
-    srv = ViewerServer(engine, volume, args.width, args.height,
+    # The GUI edits target the FIRST volume (per-volume GUI sections are a
+    # CLI/API capability; the reference shows one section per volume).
+    srv = ViewerServer(engine, volumes[0], args.width, args.height,
                        host=args.host, port=args.port)
     try:
         srv.serve_forever()
