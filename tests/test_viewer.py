@@ -171,3 +171,41 @@ def test_option_controls_route_through_engine(viewer):
                    "/frame.png?azimuth=20&elevation=10&spinangle=45")
     assert spun != base
     _get(viewer, "/frame.png?azimuth=20&elevation=10&spinangle=0")
+
+
+def test_multi_volume_sections():
+    """Two volumes: the page gains a volume selector, /voldefaults serves
+    per-volume state, and a TF/translation edit with vol=1 touches ONLY
+    volume 1 (reference GUI: one section per volume)."""
+    import json as _json
+
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="sweep")
+    vols = []
+    for i in range(2):
+        v = from_array(sphere_shell_volume(24),
+                       VolumeOptions(intensity_min=0.1, gradient_max=0.0),
+                       block_size=4, name=f"v{i}")
+        v.set_scale((100.0 / 24,) * 3)
+        eng.add_volume(v)
+        vols.append(v)
+    srv = ViewerServer(eng, vols[0], 48, 48, port=0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        page, _ = _get(srv, "/")
+        assert b"NVOL = 2" in page and b"/voldefaults" in page
+        d1, _ = _get(srv, "/voldefaults?vol=1")
+        assert _json.loads(d1)["imin"] == 0.1
+        v0_maps = vols[0]._maps_version if hasattr(
+            vols[0], "_maps_version") else 0
+        _get(srv, "/frame.png?vol=1&imin=0.3&tx=12")
+        assert vols[1].options.intensity_min == 0.3
+        assert vols[0].options.intensity_min == 0.1
+        assert np.allclose(vols[1].get_translation()[0], 12.0)
+        assert np.allclose(vols[0].get_translation()[0], 0.0)
+        assert getattr(vols[0], "_maps_version", 0) == v0_maps
+        d1b, _ = _get(srv, "/voldefaults?vol=1")
+        assert _json.loads(d1b)["imin"] == 0.3
+    finally:
+        srv.shutdown()

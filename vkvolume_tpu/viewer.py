@@ -91,6 +91,35 @@ function radio(k, names) {
 checkbox("scene"); checkbox("ert"); checkbox("spin");
 radio("skipmode", ["none", "block", "distance", "aniso"]);
 radio("test", ["none", "entry", "exit", "samples"]);
+// Per-volume sections (reference GUI: one collapsible per volume): a
+// selector — switching volumes reloads THAT volume's TF/translation
+// values so edits never leak across volumes.
+const NVOL = __NVOL__;
+if (NVOL > 1) {
+  P.vol = 0;
+  // NOT the generic radio(): the selected volume's OWN TF/translation
+  // values must load into P before any refresh, or the old volume's
+  // slider state would be applied to the new one.
+  const row = document.createElement("div"); row.className = "row";
+  row.innerHTML = `<label>volume</label>` +
+    Array.from({length: NVOL}, (_, i) =>
+      `<label style="width:auto;margin-right:.8em"><input type="radio"
+        name="vol" value="${i}" ${i == 0 ? "checked" : ""}/>vol${i}</label>`
+    ).join("");
+  box.appendChild(row);
+  row.querySelectorAll("input").forEach(el =>
+    el.addEventListener("input", async e => {
+      P.vol = parseInt(e.target.value);
+      const d = await (await fetch("/voldefaults?vol=" + P.vol)).json();
+      for (const k in d) {
+        P[k] = d[k];
+        const s = document.getElementById(k);
+        if (s) { s.value = d[k];
+                 document.getElementById(k + "v").textContent = d[k]; }
+      }
+      refresh();
+    }));
+}
 // Spin animation: the reference rotates 90 deg/s in update()
 // (volume_render.cpp:256-271); here each tick advances the angle and
 // re-fetches through the same render path.
@@ -175,6 +204,16 @@ class ViewerServer:
                         self.send_header(k, v)
                     self.end_headers()
                     self.wfile.write(png)
+                elif u.path == "/voldefaults":
+                    q = {k: float(v[0])
+                         for k, v in parse_qs(u.query).items()}
+                    body = json.dumps(
+                        viewer.vol_defaults(int(q.get("vol", 0)))).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif u.path == "/stats":
                     body = json.dumps(viewer.last).encode()
                     self.send_response(200)
@@ -211,7 +250,21 @@ class ViewerServer:
                          str(int(self.engine.options.skipping_type)))
                 .replace("__ERT__",
                          "1" if self.engine.options.early_ray_termination
-                         else "0"))
+                         else "0")
+                .replace("__NVOL__",
+                         str(max(len(self.engine.volumes), 1))))
+
+    def vol_defaults(self, idx: int) -> dict:
+        """Current TF/translation state of volume ``idx`` — fetched by the
+        page when the volume selector switches so slider edits never leak
+        across volumes (the reference GUI keeps one section per volume)."""
+        v = self.engine.volumes[idx]
+        o = v.options
+        t = v.get_translation()
+        return dict(imin=o.intensity_min, imax=o.intensity_max,
+                    gmin=o.gradient_min, gmax=o.gradient_max,
+                    sampling=o.sampling_factor, alpha=o.voxel_alpha_factor,
+                    tx=float(t[0]), ty=float(t[1]), tz=float(t[2]))
 
     def frame(self, q: dict) -> tuple[bytes, dict]:
         """Apply slider state, render one frame, return (png, headers).
@@ -224,7 +277,12 @@ class ViewerServer:
         from .camera import orbit_camera
 
         with self.lock:
-            o = self.volume.options
+            # Volume-section selector (reference GUI: one section per
+            # volume): TF / translation / spin edits target the selected
+            # volume only.
+            vols = self.engine.volumes or [self.volume]
+            vol = vols[min(max(int(q.get("vol", 0)), 0), len(vols) - 1)]
+            o = vol.options
             eo = self.engine.options
             tf_new = (q.get("imin", o.intensity_min),
                       q.get("imax", o.intensity_max),
@@ -242,7 +300,7 @@ class ViewerServer:
                  o.sampling_factor, o.voxel_alpha_factor) = tf_new
                 t0 = time.perf_counter()
                 stats = self.engine.update_transfer_function(
-                    self.volume, timed_runs=1)
+                    vol, timed_runs=1)
                 update_ms = (time.perf_counter() - t0) * 1e3
                 occupied = stats.occupied_voxel_percent
             # ESS-method radio: rebuilds the maps like the reference's
@@ -260,8 +318,8 @@ class ViewerServer:
             eo.test = Test(int(q.get("test", int(eo.test))))
             eo.clip_distance = float(q.get("clip", eo.clip_distance))
             if "spinangle" in q:
-                self.volume.set_spin(float(np.deg2rad(q["spinangle"])))
-            t_cur = self.volume.get_translation()
+                vol.set_spin(float(np.deg2rad(q["spinangle"])))
+            t_cur = vol.get_translation()
             t_new = (q.get("tx", float(t_cur[0])),
                      q.get("ty", float(t_cur[1])),
                      q.get("tz", float(t_cur[2])))
@@ -269,7 +327,7 @@ class ViewerServer:
                 # Per-volume XYZ drag (src/volume_render.cpp:464-468); the
                 # engine's pose cache keys on model_matrix, so the move
                 # invalidates cached ray setups by itself.
-                self.volume.set_translation(t_new)
+                vol.set_translation(t_new)
             cam = orbit_camera(
                 radius=self.radius,
                 azimuth_deg=q.get("azimuth", 30.0),
