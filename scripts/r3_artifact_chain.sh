@@ -127,7 +127,10 @@ for i in $(seq 1 400); do
     log "attempt $i: profiler variant A/B"
     timeout 3300 env PROF_VARIANTS=1 python scripts/profile_sweep.py \
       > /tmp/prof_try.log 2>>/tmp/prof_err_r3.log
-    grep -E '^\{' /tmp/prof_try.log | tail -1 > /tmp/profile_r3.json
+    # "frame_ms" marks a SUCCESSFUL profile — profile_sweep also prints a
+    # line-leading {"error": ...} JSON when the pallas path is not taken,
+    # which must not be accepted as the artifact.
+    grep '"frame_ms"' /tmp/prof_try.log | tail -1 > /tmp/profile_r3.json
     if [ -s /tmp/profile_r3.json ]; then
       cp /tmp/profile_r3.json docs/profile_r3.json
     else

@@ -209,3 +209,37 @@ def test_multi_volume_sections():
         assert _json.loads(d1b)["imin"] == 0.3
     finally:
         srv.shutdown()
+
+
+def test_spin_tracked_per_volume():
+    """Spin angle is tracked per volume: a selector switch neither leaks
+    vol0's angle onto vol1 nor resets vol0's rotation, and /voldefaults
+    reports it so the page restores slider state."""
+    import json as _json
+
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="sweep")
+    vols = []
+    for i in range(2):
+        v = from_array(sphere_shell_volume(16),
+                       VolumeOptions(intensity_min=0.1, gradient_max=0.0),
+                       block_size=4, name=f"v{i}")
+        v.set_scale((100.0 / 16,) * 3)
+        eng.add_volume(v)
+        vols.append(v)
+    srv = ViewerServer(eng, vols[0], 48, 48, port=0)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        _get(srv, "/frame.png?vol=0&spinangle=45")
+        nt1_before = np.asarray(vols[1].node_transform).copy()
+        # vol1 frame with ITS OWN defaults (spinangle=0) must not rotate it,
+        # and must not reset vol0.
+        d1 = _json.loads(_get(srv, "/voldefaults?vol=1")[0])
+        assert d1["spinangle"] == 0.0
+        _get(srv, "/frame.png?vol=1&spinangle=0")
+        assert np.allclose(np.asarray(vols[1].node_transform), nt1_before)
+        d0 = _json.loads(_get(srv, "/voldefaults?vol=0")[0])
+        assert d0["spinangle"] == 45.0
+    finally:
+        srv.shutdown()

@@ -47,11 +47,13 @@ _PAGE = """<!doctype html>
 <div id="stats">&nbsp;</div>
 <img id="frame" width="__W__" height="__H__"/>
 <script>
-const P = {imin:__IMIN__, imax:__IMAX__, gmin:__GMIN__, gmax:__GMAX__,
-           azimuth:30, elevation:20, scene:0,
-           tx:__TX__, ty:__TY__, tz:__TZ__,
-           sampling:__SAMP__, alpha:__ALPHA__, clip:__CLIP__,
-           skipmode:__SKIP__, ert:__ERT__, test:0, spin:0, spinangle:0};
+// Engine-level state + the default volume's per-volume state (the SAME
+// JSON /voldefaults serves — one serialisation, no drift).
+const P = Object.assign(
+  {azimuth:30, elevation:20, scene:0, clip:__CLIP__,
+   skipmode:__SKIP__, ert:__ERT__, test:__TEST__, spin:0,
+   vol:__VOLIDX__},
+  __VOL0__);
 const DEFS = [
  ["imin", 0, 1, 0.001], ["imax", 0, 1, 0.001],
  ["gmin", 0, 1, 0.001], ["gmax", 0, 1, 0.001],
@@ -96,27 +98,28 @@ radio("test", ["none", "entry", "exit", "samples"]);
 // values so edits never leak across volumes.
 const NVOL = __NVOL__;
 if (NVOL > 1) {
-  P.vol = 0;
-  // NOT the generic radio(): the selected volume's OWN TF/translation
-  // values must load into P before any refresh, or the old volume's
-  // slider state would be applied to the new one.
+  // NOT the generic radio(): the selected volume's OWN state must load
+  // into P BEFORE P.vol flips (and before any refresh) — otherwise a
+  // slider drag or the spin tick racing the fetch would apply the old
+  // volume's values to the new one.
   const row = document.createElement("div"); row.className = "row";
   row.innerHTML = `<label>volume</label>` +
     Array.from({length: NVOL}, (_, i) =>
       `<label style="width:auto;margin-right:.8em"><input type="radio"
-        name="vol" value="${i}" ${i == 0 ? "checked" : ""}/>vol${i}</label>`
+        name="vol" value="${i}" ${i == P.vol ? "checked" : ""}/>vol${i}</label>`
     ).join("");
   box.appendChild(row);
   row.querySelectorAll("input").forEach(el =>
     el.addEventListener("input", async e => {
-      P.vol = parseInt(e.target.value);
-      const d = await (await fetch("/voldefaults?vol=" + P.vol)).json();
+      const nv = parseInt(e.target.value);
+      const d = await (await fetch("/voldefaults?vol=" + nv)).json();
       for (const k in d) {
         P[k] = d[k];
         const s = document.getElementById(k);
         if (s) { s.value = d[k];
                  document.getElementById(k + "v").textContent = d[k]; }
       }
+      P.vol = nv;
       refresh();
     }));
 }
@@ -230,41 +233,50 @@ class ViewerServer:
     def port(self) -> int:
         return self.httpd.server_address[1]
 
+    def _volumes(self) -> list:
+        return self.engine.volumes or [self.volume]
+
+    def _vol_index(self, q: dict) -> int:
+        """Clamped target-volume index; defaults to the constructor's
+        volume (the page always sends ``vol`` explicitly)."""
+        vols = self._volumes()
+        try:
+            dflt = vols.index(self.volume)
+        except ValueError:
+            dflt = 0
+        return min(max(int(q.get("vol", dflt)), 0), len(vols) - 1)
+
     def page(self) -> str:
-        o = self.volume.options
-        t = self.volume.get_translation()
+        eo = self.engine.options
         return (_PAGE
                 .replace("__W__", str(self.width))
                 .replace("__H__", str(self.height))
-                .replace("__IMIN__", repr(o.intensity_min))
-                .replace("__IMAX__", repr(o.intensity_max))
-                .replace("__GMIN__", repr(o.gradient_min))
-                .replace("__GMAX__", repr(o.gradient_max))
-                .replace("__TX__", repr(float(t[0])))
-                .replace("__TY__", repr(float(t[1])))
-                .replace("__TZ__", repr(float(t[2])))
-                .replace("__SAMP__", repr(o.sampling_factor))
-                .replace("__ALPHA__", repr(o.voxel_alpha_factor))
-                .replace("__CLIP__", repr(self.engine.options.clip_distance))
-                .replace("__SKIP__",
-                         str(int(self.engine.options.skipping_type)))
+                # Per-volume fields come from the SAME serialisation the
+                # /voldefaults endpoint uses — one source, no drift.
+                .replace("__VOL0__",
+                         json.dumps(self.vol_defaults(self._vol_index({}))))
+                .replace("__VOLIDX__", str(self._vol_index({})))
+                .replace("__CLIP__", repr(eo.clip_distance))
+                .replace("__SKIP__", str(int(eo.skipping_type)))
+                .replace("__TEST__", str(int(eo.test)))
                 .replace("__ERT__",
-                         "1" if self.engine.options.early_ray_termination
-                         else "0")
-                .replace("__NVOL__",
-                         str(max(len(self.engine.volumes), 1))))
+                         "1" if eo.early_ray_termination else "0")
+                .replace("__NVOL__", str(len(self._volumes()))))
 
     def vol_defaults(self, idx: int) -> dict:
-        """Current TF/translation state of volume ``idx`` — fetched by the
-        page when the volume selector switches so slider edits never leak
-        across volumes (the reference GUI keeps one section per volume)."""
-        v = self.engine.volumes[idx]
+        """Current TF/translation/spin state of volume ``idx`` — fetched
+        by the page when the volume selector switches so slider edits
+        never leak across volumes (the reference GUI keeps one section per
+        volume). ``idx`` is clamped like frame()'s."""
+        vols = self._volumes()
+        v = vols[min(max(idx, 0), len(vols) - 1)]
         o = v.options
         t = v.get_translation()
         return dict(imin=o.intensity_min, imax=o.intensity_max,
                     gmin=o.gradient_min, gmax=o.gradient_max,
                     sampling=o.sampling_factor, alpha=o.voxel_alpha_factor,
-                    tx=float(t[0]), ty=float(t[1]), tz=float(t[2]))
+                    tx=float(t[0]), ty=float(t[1]), tz=float(t[2]),
+                    spinangle=float(getattr(v, "_viewer_spin_deg", 0.0)))
 
     def frame(self, q: dict) -> tuple[bytes, dict]:
         """Apply slider state, render one frame, return (png, headers).
@@ -280,8 +292,7 @@ class ViewerServer:
             # Volume-section selector (reference GUI: one section per
             # volume): TF / translation / spin edits target the selected
             # volume only.
-            vols = self.engine.volumes or [self.volume]
-            vol = vols[min(max(int(q.get("vol", 0)), 0), len(vols) - 1)]
+            vol = self._volumes()[self._vol_index(q)]
             o = vol.options
             eo = self.engine.options
             tf_new = (q.get("imin", o.intensity_min),
@@ -292,33 +303,41 @@ class ViewerServer:
                       q.get("alpha", o.voxel_alpha_factor))
             update_ms = 0.0
             occupied = self.last["occupied_pct"]
-            if tf_new != (o.intensity_min, o.intensity_max,
-                          o.gradient_min, o.gradient_max,
-                          o.sampling_factor, o.voxel_alpha_factor):
-                (o.intensity_min, o.intensity_max,
-                 o.gradient_min, o.gradient_max,
-                 o.sampling_factor, o.voxel_alpha_factor) = tf_new
-                t0 = time.perf_counter()
-                stats = self.engine.update_transfer_function(
-                    vol, timed_runs=1)
-                update_ms = (time.perf_counter() - t0) * 1e3
-                occupied = stats.occupied_voxel_percent
-            # ESS-method radio: rebuilds the maps like the reference's
-            # selection callback (volume_render.cpp:512-518).
+            tf_changed = tf_new != (
+                o.intensity_min, o.intensity_max,
+                o.gradient_min, o.gradient_max,
+                o.sampling_factor, o.voxel_alpha_factor)
+            (o.intensity_min, o.intensity_max,
+             o.gradient_min, o.gradient_max,
+             o.sampling_factor, o.voxel_alpha_factor) = tf_new
+            # ESS-method radio FIRST (volume_render.cpp:512-518): it
+            # rebuilds every volume itself with the (already applied) new
+            # TF, so a coalesced TF+skipmode request pays ONE rebuild.
             st_new = SkippingType(int(q.get("skipmode", int(
                 eo.skipping_type))))
             if st_new != eo.skipping_type:
                 t0 = time.perf_counter()
                 self.engine.set_skipping_type(st_new)
-                update_ms += (time.perf_counter() - t0) * 1e3
+                update_ms = (time.perf_counter() - t0) * 1e3
+            elif tf_changed:
+                t0 = time.perf_counter()
+                stats = self.engine.update_transfer_function(
+                    vol, timed_runs=1)
+                update_ms = (time.perf_counter() - t0) * 1e3
+                occupied = stats.occupied_voxel_percent
             # ERT / Test / Clip: jit static args or cached-pose keys — the
             # next frame re-specialises, nothing to rebuild.
             eo.early_ray_termination = q.get(
                 "ert", 1.0 if eo.early_ray_termination else 0.0) > 0.0
             eo.test = Test(int(q.get("test", int(eo.test))))
             eo.clip_distance = float(q.get("clip", eo.clip_distance))
+            # Spin is tracked PER volume so a selector switch neither
+            # leaks another volume's angle nor resets this one's.
             if "spinangle" in q:
-                vol.set_spin(float(np.deg2rad(q["spinangle"])))
+                ang = float(q["spinangle"])
+                if ang != getattr(vol, "_viewer_spin_deg", 0.0):
+                    vol.set_spin(float(np.deg2rad(ang)))
+                    vol._viewer_spin_deg = ang
             t_cur = vol.get_translation()
             t_new = (q.get("tx", float(t_cur[0])),
                      q.get("ty", float(t_cur[1])),
