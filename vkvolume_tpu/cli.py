@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="marcher = reference-exact ray march (parity oracle); "
                         "sweep = XLA plane-sweep; pallas = TPU kernel "
                         "(falls back to sweep when unsupported)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax debug_nans (the sanitizer role of the "
+                        "reference's optional Vulkan validation layers, "
+                        "SURVEY §5; fails fast on the first NaN any jitted "
+                        "pipeline produces)")
     p.add_argument("--sweep", action="store_true",
                    help="run the full benchmark sweep "
                         "(scripts/benchmark.py equivalent) and write CSVs")
@@ -108,6 +113,11 @@ def setup_engine(args):
 
     from .engine import Engine, RenderOptions, from_array, from_file
     from .options import SkippingType, Test, VolumeOptions
+
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     opts = VolumeOptions(
         sampling_factor=args.sampling,
