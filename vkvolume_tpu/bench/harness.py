@@ -16,6 +16,7 @@ mode forces clip_distance = 1, ERT off, NumTextureSamples output
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -340,7 +341,16 @@ def make_engine(
         eng.options.early_ray_termination = ert
     vol = from_array(volume_u8, opts, block_size=blocksize, name=ds.filename)
     d, h, w = volume_u8.shape
-    vol.set_scale((100.0 / max(d, h, w),) * 3)
+    if os.environ.get("VKV_BENCH_FIT", "aspect") == "stretch":
+        # The reference benchmark's EXACT fit: stretch every axis to 100
+        # (volume_render.cpp:224-233). Measured (CPU plan, beetle az30):
+        # +1.7 % covered rays but ~2.3× grid cells — the heavier protocol.
+        # Default stays aspect-preserving (every round-1..3 artifact,
+        # calibration and plan-cost lock was measured under it); flip the
+        # env for a protocol-matched A/B. See docs/PERF.md protocol note.
+        vol.set_scale((100.0 / w, 100.0 / h, 100.0 / d))
+    else:
+        vol.set_scale((100.0 / max(d, h, w),) * 3)
     stats = eng.add_volume(vol)
     return eng, stats, volume_u8, load_s
 
