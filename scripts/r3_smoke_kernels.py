@@ -125,9 +125,11 @@ def warp_pipelined_prod():
     Ws, Wo, H = 1152, 512, 16
     src = jnp.asarray(rng.random((3, H, Ws), np.float32))
     # Column tile k samples around base ~240·k: spans fit RECT-132 but the
-    # aligned bases differ per tile (0/128/384/640).
+    # aligned bases differ per tile (0/128/384/640). Tile 2 is fully
+    # masked (pos = -10) — exercises the base = -1 DMA-skip sentinel.
     cols = [rng.uniform(240.0 * k, 240.0 * k + 200.0, (H, 128))
             for k in range(Wo // 128)]
+    cols[2][:] = -10.0
     pos = jnp.asarray(np.concatenate(cols, axis=1).astype(np.float32))
     interp = os.environ.get("SMOKE_INTERPRET") == "1"
     out = np.asarray(wp.resample_rows(src, pos, RECT=384, pipeline=True,

@@ -807,6 +807,24 @@ class Engine:
                             plan.get("R_brick") is None
                             or n_slabs < vol_t.shape[0]):
                         plan = None
+                    elif (plan.get("rect_w", 256) > 256
+                          and n_slabs < vol_t.shape[0]):
+                        # Wide-rect plans exist only in the brick kernel,
+                        # and the brick kernel needs >=1 slab per voxel
+                        # plane; sampling_factor < 1 (a GUI slider value)
+                        # violates that, and _frame_body would refuse at
+                        # trace time. Narrow to a 256-rect re-plan up
+                        # front instead of burning compile retries on a
+                        # guaranteed refusal.
+                        cand = pose.get("plan_narrow")
+                        if cand is None:
+                            cand = sp.plan_from_stats(
+                                view, uniforms, p, vol_t.shape,
+                                height, width, max_rect=256)
+                            pose["plan_narrow"] = (cand if cand is not None
+                                                   else False)
+                        plan = cand or None
+
                 def _spec_key(pl):
                     return (pl["Hi"], pl["Wi"], pl["R_sweep"],
                             pl["R_warp"], pl.get("tile_h"),
@@ -815,7 +833,14 @@ class Engine:
                             pl["RECT_A"], pl["RECT_B"],
                             pl.get("warp_variant"), p, pl["sgn_p"],
                             height, width, self.options.test,
-                            self.options.early_ray_termination)
+                            self.options.early_ray_termination,
+                            # These are jit-static too: omitting them
+                            # would let one variant's compile failures
+                            # write off a DIFFERENT Mosaic specialisation
+                            # (e.g. texture-TF 500s poisoning the
+                            # closed-form kernel for the same pose).
+                            self.options.texture_tf, n_slabs, dist_leap,
+                            grad_t is not None)
 
                 spec_key = None
                 if plan is not None:
@@ -850,6 +875,12 @@ class Engine:
                                 pose[slot] = (cand if cand is not None
                                               else False)
                             if not cand:
+                                continue
+                            if self.options.texture_tf and \
+                                    cand.get("R_brick") is None:
+                                # The texture-TF variant exists only in
+                                # the brick kernel; a per-slab re-plan is
+                                # a guaranteed trace-time refusal.
                                 continue
                             spec_key = _spec_key(cand)
                             if self._failed_specs.get(spec_key, 0) < \

@@ -232,10 +232,23 @@ def render_frame_sharded(
     plan = sp.plan_frame(uniforms, rays, p_axis, vol_t.shape, H, W)
     if plan is None:
         raise sp.PallasUnsupported("view exceeds w-grid kernel limits")
-    if plan["Hi"] % (sp.TILE_H * n):
-        raise ValueError(f"grid height {plan['Hi']} not divisible over {n}")
     Np = vol_t.shape[0]
     n_slabs = int(max(2, round(Np * oversample)))
+    if plan.get("rect_w", 256) > 256 and (
+            n_slabs < Np
+            or (plan["Hi"] // n) % plan.get("tile_h", 8)):
+        # Wide-rect plans are brick-kernel-only, and the brick kernel
+        # additionally needs >=1 slab per voxel plane and per-shard grid
+        # rows divisible by the tile height — conditions the plan cannot
+        # know (it never sees the shard count or the oversample). Re-plan
+        # at the 256-lane rect the per-slab kernel can cover instead of
+        # letting _frame_body refuse at trace time.
+        plan = sp.plan_frame(uniforms, rays, p_axis, vol_t.shape, H, W,
+                             max_rect=256)
+        if plan is None:
+            raise sp.PallasUnsupported("view exceeds w-grid kernel limits")
+    if plan["Hi"] % (sp.TILE_H * n):
+        raise ValueError(f"grid height {plan['Hi']} not divisible over {n}")
     grid_params = jnp.asarray(
         [plan["wu0"], plan["dwu"], plan.get("cu", 0.0),
          plan["wv0"], plan["dwv"], plan.get("cv", 0.0)], jnp.float32

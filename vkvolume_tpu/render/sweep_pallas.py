@@ -962,7 +962,7 @@ def select_view_plan(uniforms: FrameUniforms, height: int, width: int,
 
 def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
                vol_shape_t, height: int, width: int,
-               max_oversample: float = 2.5):
+               max_oversample: float = 2.5, max_rect: int | None = None):
     """Host-side frame plan (see plan_from_stats). Prefers the analytic view
     statistics (render/plan.py — no device reductions, enables the two-pass
     warp); falls back to on-device reductions over ``rays`` when the
@@ -979,10 +979,10 @@ def plan_frame(uniforms: FrameUniforms, rays: RaySetup, p_axis: int,
         return None
     if view is not None and view["p_axis"] == p_axis:
         return plan_from_stats(view, uniforms, p_axis, vol_shape_t, height,
-                               width, max_oversample)
+                               width, max_oversample, max_rect=max_rect)
     st = stats_to_dict(_plan_stats_jit(rays, p_axis))
     return plan_from_stats(st, uniforms, p_axis, vol_shape_t, height, width,
-                           max_oversample)
+                           max_oversample, max_rect=max_rect)
 
 
 def _mobius_grid_params(rng: float, f_lo: float, f_hi: float, N: float):

@@ -167,6 +167,49 @@ def warp_to_pixels(src_chw: jax.Array, gx: jax.Array, gy: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _resample_epilogue(out_ref, rows_for, pos, inside, base, Ws, *,
+                       RECT, C, encode_out):
+    """Shared gather/lerp/encode tail of BOTH resample kernels (inline and
+    cross-step-pipelined): per channel, two lane-gather taps around
+    ``pos - base`` out of the (8, RECT) scratch rows served by
+    ``rows_for(c)``, linear blend, masked pixels → 0. Kept in one place so
+    the two kernels cannot desync (the device smoke equality-checks them)."""
+    f = jnp.float32
+    posc = jnp.clip(pos, 0.0, Ws.astype(f) - 1.0)
+    iu0 = jnp.floor(posc).astype(jnp.int32)
+    fu = jnp.clip(posc - jnp.floor(posc), 0.0, 1.0)
+    il0 = jnp.clip(iu0 - base, 0, RECT - 1)
+    il1 = jnp.clip(iu0 + 1 - base, 0, RECT - 1)
+
+    def u_tap(halves, il):
+        g = jnp.take_along_axis(halves[0], jnp.minimum(il, 127), axis=1)
+        for h in range(1, RECT // 128):
+            g = jnp.where(
+                il < 128 * h, g,
+                jnp.take_along_axis(halves[h],
+                                    jnp.clip(il - 128 * h, 0, 127), axis=1),
+            )
+        return g
+
+    for c in range(C):
+        rows = rows_for(c)                           # (8, RECT)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.int32).astype(f)
+        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
+                       for h in range(RECT // 128))
+        g0 = u_tap(halves, il0)
+        g1 = u_tap(halves, il1)
+        val = g0 + (g1 - g0) * fu
+        val = jnp.where(inside, val, 0.0)
+        if encode_out:
+            # Mosaic lacks a direct f32→u16 cast; go via int32.
+            out_ref[c, :, :] = jnp.round(
+                jnp.clip(val, 0.0, 65535.0)
+            ).astype(jnp.int32).astype(jnp.uint16)
+        else:
+            out_ref[c, :, :] = val
+
+
 def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
                      *, RECT, C, encode_out):
     """out[c, y, x] = lerp(src[c, y, pos[y, x]]) for one 8×128 tile; the
@@ -202,38 +245,8 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
         dma.start()
         dma.wait()
 
-    iu0 = jnp.floor(posc).astype(jnp.int32)
-    fu = jnp.clip(posc - jnp.floor(posc), 0.0, 1.0)
-    il0 = jnp.clip(iu0 - u0a, 0, RECT - 1)
-    il1 = jnp.clip(iu0 + 1 - u0a, 0, RECT - 1)
-
-    def u_tap(halves, il):
-        g = jnp.take_along_axis(halves[0], jnp.minimum(il, 127), axis=1)
-        for h in range(1, RECT // 128):
-            g = jnp.where(
-                il < 128 * h, g,
-                jnp.take_along_axis(halves[h],
-                                    jnp.clip(il - 128 * h, 0, 127), axis=1),
-            )
-        return g
-
-    for c in range(C):
-        rows = scratch[c, :, :]                      # (8, RECT)
-        if rows.dtype != jnp.float32:
-            rows = rows.astype(jnp.int32).astype(f)
-        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
-                       for h in range(RECT // 128))
-        g0 = u_tap(halves, il0)
-        g1 = u_tap(halves, il1)
-        val = g0 + (g1 - g0) * fu
-        val = jnp.where(inside, val, 0.0)
-        if encode_out:
-            # Mosaic lacks a direct f32→u16 cast; go via int32.
-            out_ref[c, :, :] = jnp.round(
-                jnp.clip(val, 0.0, 65535.0)
-            ).astype(jnp.int32).astype(jnp.uint16)
-        else:
-            out_ref[c, :, :] = val
+    _resample_epilogue(out_ref, lambda c: scratch[c, :, :], pos, inside,
+                       u0a, Ws, RECT=RECT, C=C, encode_out=encode_out)
 
 
 def _resample_kernel_pipe(meta_ref, pos_ref, src_ref, out_ref,
@@ -245,14 +258,20 @@ def _resample_kernel_pipe(meta_ref, pos_ref, src_ref, out_ref,
     host side of the jit into an SMEM scalar array — any tile's base is
     readable at any step, and the wait can rebuild the exact descriptor
     the start used. ``meta_ref`` packs [Ws, 0, base_0, base_1, ...]."""
-    f = jnp.float32
     Ws = meta_ref[0]
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     s = ty * NTX + tx
 
+    # base == -1 marks a fully-masked tile (host sentinel): its DMA is
+    # skipped entirely (the pass is DMA-bound; padded pos rows would
+    # otherwise transfer (C, 8, RECT) per dead tile). Start and wait use
+    # the SAME predicate, so every started DMA is waited exactly once.
+    def live(step):
+        return meta_ref[2 + step] >= 0
+
     def dma(step, slot):
-        base = meta_ref[2 + step]
+        base = jnp.maximum(meta_ref[2 + step], 0)
         base = pl.multiple_of(base, 128)
         ti = step // NTX
         return pltpu.make_async_copy(
@@ -260,52 +279,30 @@ def _resample_kernel_pipe(meta_ref, pos_ref, src_ref, out_ref,
             scratch.at[slot], sems.at[slot],
         )
 
-    @pl.when(s == 0)
+    @pl.when(jnp.logical_and(s == 0, live(s)))
     def _():
         dma(s, jax.lax.rem(s, 2)).start()
 
-    @pl.when(s < NT - 1)
+    # The next-step base index is clamped for the CONDITION read (at the
+    # last step 2+s+1 would index past the scalar array); the body's own
+    # dma(s + 1) read only executes when s < NT - 1.
+    nxt_live = live(jnp.minimum(s + 1, NT - 1))
+
+    @pl.when(jnp.logical_and(s < NT - 1, nxt_live))
     def _():
         dma(s + 1, jax.lax.rem(s + 1, 2)).start()
 
-    dma(s, jax.lax.rem(s, 2)).wait()
+    @pl.when(live(s))
+    def _():
+        dma(s, jax.lax.rem(s, 2)).wait()
 
     pos = pos_ref[:]
     inside = pos > -5.0
-    posc = jnp.clip(pos, 0.0, Ws.astype(f) - 1.0)
-    u0a = meta_ref[2 + s]
-    iu0 = jnp.floor(posc).astype(jnp.int32)
-    fu = jnp.clip(posc - jnp.floor(posc), 0.0, 1.0)
-    il0 = jnp.clip(iu0 - u0a, 0, RECT - 1)
-    il1 = jnp.clip(iu0 + 1 - u0a, 0, RECT - 1)
-
-    def u_tap(halves, il):
-        g = jnp.take_along_axis(halves[0], jnp.minimum(il, 127), axis=1)
-        for h in range(1, RECT // 128):
-            g = jnp.where(
-                il < 128 * h, g,
-                jnp.take_along_axis(halves[h],
-                                    jnp.clip(il - 128 * h, 0, 127), axis=1),
-            )
-        return g
-
+    base = jnp.maximum(meta_ref[2 + s], 0)
     slot = jax.lax.rem(s, 2)
-    for c in range(C):
-        rows = scratch[slot, c, :, :]                  # (8, RECT)
-        if rows.dtype != jnp.float32:
-            rows = rows.astype(jnp.int32).astype(f)
-        halves = tuple(rows[:, 128 * h:128 * (h + 1)]
-                       for h in range(RECT // 128))
-        g0 = u_tap(halves, il0)
-        g1 = u_tap(halves, il1)
-        val = g0 + (g1 - g0) * fu
-        val = jnp.where(inside, val, 0.0)
-        if encode_out:
-            out_ref[c, :, :] = jnp.round(
-                jnp.clip(val, 0.0, 65535.0)
-            ).astype(jnp.int32).astype(jnp.uint16)
-        else:
-            out_ref[c, :, :] = val
+    _resample_epilogue(out_ref, lambda c: scratch[slot, c, :, :], pos,
+                       inside, base, Ws, RECT=RECT, C=C,
+                       encode_out=encode_out)
 
 
 @functools.partial(jax.jit,
@@ -349,6 +346,9 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
         u0 = jnp.floor(
             jnp.where(jnp.isfinite(pmin), pmin, 0.0)).astype(jnp.int32)
         bases = jnp.clip((u0 // 128) * 128, 0, max(Ws - RECT, 0))
+        # Fully-masked tiles (no finite pos) carry base = -1: the kernel
+        # skips their rect DMA entirely (the output is masked to 0 anyway).
+        bases = jnp.where(jnp.isfinite(pmin), bases, -1)
         meta = jnp.concatenate([
             jnp.asarray([Ws, 0], jnp.int32), bases.reshape(-1)])
         kern = functools.partial(_resample_kernel_pipe, RECT=RECT, C=C,
