@@ -16,109 +16,326 @@ synthetic stand-in with the same extents and calibrated to the same
 occupancy (3.97 %) — the quantity that drives ESS work (see
 vkvolume_tpu/bench/datasets.py).
 
+Robustness (round 4): the axon relay/device intermittently WEDGES —
+queued ops never complete and only killing the client process frees the
+device (CLAUDE.md).  The bench therefore runs as a SUPERVISOR (this
+process, no jax import) + WORKER (subprocess doing the device work).
+The worker writes progressive results to a state file after every phase
+(synth, engine build, first frame, every repetition); the supervisor
+kills and respawns the worker when a phase stalls, degrades the protocol
+on each respawn (fewer frames/reps), and emits the best available
+result before any plausible driver timeout.  A wedge now costs one
+respawn (~1-2 min warm via the persistent compile cache), not the whole
+score.
+
 Environment overrides: BENCH_FRAMES, BENCH_SCALE (volume scale factor),
-BENCH_WIDTH/BENCH_HEIGHT, BENCH_DATASET, BENCH_SKIPMODE.
+BENCH_WIDTH/BENCH_HEIGHT, BENCH_DATASET, BENCH_SKIPMODE, BENCH_RENDERER,
+BENCH_DEADLINE_S (emit best partial by this wall-clock), BENCH_FIT.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
+import threading
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+STATE = os.path.join(REPO, ".cache", "bench_state.json")
 
-def _watchdog(timeout_s: float):
-    """The relay/device occasionally wedges mid-run (ops never complete;
-    only killing the client frees it). If the bench hasn't finished within
-    ``timeout_s``, re-exec this process (fresh client, device unwedges);
-    give up with a nonzero exit after two retries."""
-    import threading
-
-    done = threading.Event()
-
-    def guard():
-        if done.wait(timeout_s):
-            return
-        n = int(os.environ.get("BENCH_RETRY", "0"))
-        if n < 2:
-            os.environ["BENCH_RETRY"] = str(n + 1)
-            sys.stderr.write(
-                f"bench watchdog: no result in {timeout_s:.0f}s; "
-                f"re-exec (attempt {n + 1}/2)\n")
-            sys.stderr.flush()
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        sys.stderr.write("bench watchdog: giving up\n")
-        os._exit(3)
-
-    threading.Thread(target=guard, daemon=True).start()
-    return done
+# Per-phase stall budgets (seconds without the worker advancing to the
+# next phase before the supervisor kills + respawns it).  Cold remote
+# Mosaic compiles take minutes; the committed precompiled cache makes
+# the engine/first-frame phases seconds when it hits.
+PHASE_BUDGET = {
+    "boot": 480.0,          # jax import + synthesize full-scale volume
+    "synth_done": 600.0,    # engine build: maps (occupancy+DT compiles)
+    "engine_ready": 600.0,  # first frame: sweep+warp kernel compiles
+    "first_frame": 240.0,
+    "partial": 300.0,       # each repetition (10 frames + sync)
+    "rep": 300.0,
+    "final_core": 300.0,    # stage breakdown is a bounded nice-to-have
+}
 
 
-def main():
-    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1200")))
+def log(msg):
+    sys.stderr.write(f"bench[{time.strftime('%H:%M:%S')}]: {msg}\n")
+    sys.stderr.flush()
+
+
+def write_state(data):
+    data = dict(data)
+    data["ts"] = time.time()
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(STATE))
+    with os.fdopen(fd, "w") as fh:
+        json.dump(data, fh)
+    os.replace(tmp, STATE)
+
+
+def read_state():
+    try:
+        with open(STATE) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def seed_compile_cache():
+    """Populate .cache/jax from the committed precompiled cache so a
+    fresh container (every round boundary wipes .cache) skips the
+    multi-minute remote Mosaic compiles of the frame kernels."""
+    import shutil
+
+    dst = os.path.join(REPO, ".cache", "jax")
+    src = os.path.join(REPO, "precompiled", "jax_cache")
+    if not os.path.isdir(src):
+        return
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for name in os.listdir(src):
+        d = os.path.join(dst, name)
+        if not os.path.exists(d):
+            shutil.copy2(os.path.join(src, name), d)
+            n += 1
+    if n:
+        log(f"seeded compile cache with {n} precompiled entries")
+
+
+# ----------------------------------------------------------------- worker
+
+def worker_main():
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    if attempt == 1:
+        frames, reps = min(frames, 5), min(reps, 3)
+    elif attempt >= 2:
+        frames, reps = min(frames, 2), min(reps, 2)
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     dataset = os.environ.get("BENCH_DATASET", "beetle")
     skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
     renderer = os.environ.get("BENCH_RENDERER", "pallas")
-    orbit = float(os.environ.get("BENCH_ORBIT", "0"))      # deg/frame
-    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") != "0"
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") != "0" and attempt == 0
 
-    import jax
+    t_start = time.time()
+    write_state({"phase": "boot", "attempt": attempt})
+
+    import numpy as np
+
+    import jax  # noqa: F401  (platform init)
 
     from vkvolume_tpu.utils import enable_compile_cache
     enable_compile_cache()
+    log(f"worker attempt={attempt} frames={frames} reps={reps} "
+        f"devices={jax.devices()}")
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    from vkvolume_tpu.bench.harness import run_config
+    from vkvolume_tpu.bench.datasets import DATASETS, synthesize
+    from vkvolume_tpu.bench.harness import benchmark_camera, make_engine
     from vkvolume_tpu.options import Test
 
-    t0 = time.time()
-    r = run_config(
-        dataset, skipmode, 4,
-        width=width, height=height, frames=frames, scale=scale,
-        # Headline number = the real shaded render with ERT on (the
-        # user-facing configuration), not the sample-count test image.
-        test=Test.NONE, ert=True, renderer=renderer, orbit_deg=orbit,
-        keep_engine=breakdown and renderer == "pallas",
-    )
-    wall = time.time() - t0
+    ds = DATASETS[dataset]
+    vol_u8 = synthesize(ds, seed=0, scale=scale)
+    write_state({"phase": "synth_done", "attempt": attempt,
+                 "synth_s": round(time.time() - t_start, 1)})
+    log(f"synth done in {time.time() - t_start:.0f}s")
 
-    stages = None
-    if r.engine is not None:
-        # Reuse the timed engine (same config, volume and jit cache — no
-        # second device setup).
-        from vkvolume_tpu.bench.harness import benchmark_camera, stage_breakdown
+    eng, stats, _, _ = make_engine(
+        dataset, skipmode, 4, scale=scale, volume_u8=vol_u8,
+        renderer=renderer, test=Test.NONE, ert=True)
+    write_state({"phase": "engine_ready", "attempt": attempt,
+                 "map_update_ms": stats.map_update_ms,
+                 "occupancy_pct": stats.occupied_voxel_percent})
+    log(f"engine ready at {time.time() - t_start:.0f}s "
+        f"(update {stats.map_update_ms:.1f} ms)")
 
-        stages = stage_breakdown(
-            r.engine, benchmark_camera(aspect=width / height), width, height)
-
+    cam = benchmark_camera(aspect=width / height)
     ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
-    reps = list(r.rep_ms)
-    spread = (max(reps) - min(reps)) / r.frame_ms if reps else 0.0
-    result = {
-        "metric": f"ms/frame {width}x{height} {dataset} skipmode={skipmode} renderer={renderer} (synthetic, occupancy+structure-matched)",
-        "value": round(r.frame_ms, 3),
-        "unit": "ms/frame",
-        "vs_baseline": round(baseline_ms / r.frame_ms, 4),
-        "fps": round(r.framerate, 2),
-        "map_update_ms": round(r.update, 3),
-        "occupancy_pct": round(r.occupancy, 3),
-        "frames": frames,
-        "scale": scale,
-        "wall_s": round(wall, 1),
-        "rep_ms": reps,
-        "rep_spread": round(spread, 3),
-        "renderer_used": r.renderer_used,
-        "renderer_counts": r.renderer_counts,
-        "orbit_deg_per_frame": orbit,
-        "stages": stages,
-    }
-    done.set()
-    print(json.dumps(result))
+
+    def result(frame_ms, rep_ms, partial, extra=None):
+        r = {
+            "metric": (f"ms/frame {width}x{height} {dataset} "
+                       f"skipmode={skipmode} renderer={renderer} "
+                       "(synthetic, occupancy+structure-matched)"),
+            "value": round(frame_ms, 3),
+            "unit": "ms/frame",
+            "vs_baseline": round(baseline_ms / frame_ms, 4),
+            "fps": round(1000.0 / frame_ms, 2),
+            "map_update_ms": round(stats.map_update_ms or 0.0, 3),
+            "occupancy_pct": round(stats.occupied_voxel_percent or 0.0, 3),
+            "frames": frames,
+            "scale": scale,
+            "wall_s": round(time.time() - t_start, 1),
+            "rep_ms": [round(r, 3) for r in rep_ms],
+            "rep_spread": round((max(rep_ms) - min(rep_ms)) / frame_ms, 3)
+            if rep_ms else 0.0,
+            "renderer_used": getattr(eng, "last_renderer", ""),
+            "renderer_counts": dict(getattr(eng, "renderer_counts", {}) or {}),
+            "partial": partial,
+            "attempt": attempt,
+            "protocol": f"{reps}x{frames}",
+            "stages": None,
+        }
+        if extra:
+            r.update(extra)
+        return r
+
+    def sync(out):
+        out.color.block_until_ready()
+        float(out.color.ravel()[0])
+
+    # Warm-up frame (compiles the frame kernels on a cold cache).
+    out = eng.render(cam, width, height)
+    sync(out)
+    write_state({"phase": "first_frame", "attempt": attempt,
+                 "first_frame_s": round(time.time() - t_start, 1)})
+    log(f"first frame at {time.time() - t_start:.0f}s")
+
+    # Quick partial: 2 timed frames — worth emitting the moment we have
+    # ANY steady-state number (a later wedge must not zero the score).
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = eng.render(cam, width, height)
+    sync(out)
+    quick_ms = (time.perf_counter() - t0) / 2 * 1e3
+    write_state({"phase": "partial", "attempt": attempt,
+                 "result": result(quick_ms, [quick_ms], True)})
+    log(f"quick partial: {quick_ms:.1f} ms/frame")
+
+    rep_ms = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = eng.render(cam, width, height)
+        sync(out)
+        rep_ms.append((time.perf_counter() - t0) / frames * 1e3)
+        med = float(np.median(rep_ms))
+        write_state({"phase": "rep", "rep": rep, "attempt": attempt,
+                     "result": result(med, rep_ms, rep + 1 < reps)})
+        log(f"rep {rep + 1}/{reps}: {rep_ms[-1]:.1f} ms (median {med:.1f})")
+
+    med = float(np.median(rep_ms))
+    final = result(med, rep_ms, False)
+    write_state({"phase": "final_core", "attempt": attempt, "result": final})
+
+    if breakdown:
+        try:
+            from vkvolume_tpu.bench.harness import stage_breakdown
+            final["stages"] = stage_breakdown(eng, cam, width, height)
+        except Exception as e:  # breakdown must never lose the result
+            log(f"stage breakdown failed: {e!r}")
+    write_state({"phase": "final", "attempt": attempt, "result": final})
+    log(f"worker done in {time.time() - t_start:.0f}s")
+
+
+# ------------------------------------------------------------- supervisor
+
+def spawn_worker(attempt):
+    env = dict(os.environ, BENCH_ATTEMPT=str(attempt))
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        env=env, cwd=REPO, stdout=sys.stderr, stderr=sys.stderr,
+        start_new_session=True)
+
+
+def kill_worker(proc):
+    """SIGKILL the whole worker process group: a wedged axon client only
+    frees the device when the process dies (CLAUDE.md)."""
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        proc.kill()
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def supervise():
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "5"))
+    t_start = time.time()
+    os.makedirs(os.path.dirname(STATE), exist_ok=True)
+    try:
+        os.remove(STATE)
+    except OSError:
+        pass
+    seed_compile_cache()
+
+    best = None              # best (most complete) result dict so far
+    attempt = 0
+    proc = spawn_worker(attempt)
+    log(f"supervisor: worker pid {proc.pid}, deadline {deadline_s:.0f}s")
+    phase, phase_t = "boot", time.time()
+
+    def emit(r, rc=0):
+        r = dict(r)
+        r["total_wall_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(r))
+        sys.stdout.flush()
+        sys.exit(rc)
+
+    while True:
+        time.sleep(2)
+        st = read_state()
+        if st:
+            key = st["phase"] if st["phase"] != "rep" \
+                else f"rep{st.get('rep')}"
+            if key != phase:
+                phase, phase_t = key, time.time()
+            if "result" in st:
+                best = st["result"]
+            if st["phase"] == "final":
+                proc.wait(timeout=120)
+                log("final result ready")
+                emit(best)
+        if proc.poll() is not None and (not st or st["phase"] != "final"):
+            # Worker died (crash or OOM-kill).  final_core counts as done
+            # if only the breakdown crashed.
+            if best is not None and not best.get("partial"):
+                emit(best)
+            log(f"worker exited rc={proc.returncode} in phase {phase}")
+            attempt += 1
+            if attempt >= max_attempts:
+                if best is not None:
+                    emit(best)
+                log("giving up: no measurement")
+                sys.exit(3)
+            proc = spawn_worker(attempt)
+            phase, phase_t = "boot", time.time()
+            continue
+        budget = PHASE_BUDGET.get(phase.rstrip("0123456789"),
+                                  PHASE_BUDGET["rep"])
+        if time.time() - phase_t > budget:
+            log(f"phase '{phase}' stalled >{budget:.0f}s — "
+                "killing worker (wedged device frees on client death)")
+            kill_worker(proc)
+            attempt += 1
+            if attempt >= max_attempts:
+                if best is not None:
+                    emit(best)
+                log("giving up: no measurement after max attempts")
+                sys.exit(3)
+            proc = spawn_worker(attempt)
+            phase, phase_t = "boot", time.time()
+        if time.time() - t_start > deadline_s and best is not None:
+            # Emit the best partial before any plausible driver timeout;
+            # with no measurement yet there is nothing to protect — keep
+            # running (the driver's own timeout is the only loss mode).
+            log("deadline reached — emitting best available result")
+            kill_worker(proc)
+            emit(best)
+
+
+def main():
+    if "--worker" in sys.argv:
+        worker_main()
+    else:
+        supervise()
 
 
 if __name__ == "__main__":
