@@ -50,7 +50,9 @@ STATE = os.path.join(REPO, ".cache", "bench_state.json")
 # Mosaic compiles take minutes; the committed precompiled cache makes
 # the engine/first-frame phases seconds when it hits.
 PHASE_BUDGET = {
-    "boot": 480.0,          # jax import + synthesize full-scale volume
+    "boot": 240.0,          # jax import + platform init
+    "synth": 900.0,         # synthesize the full-scale volume (pure numpy,
+                            # ~8 min cold at full scale; cached after)
     "synth_done": 600.0,    # engine build: maps (occupancy+DT compiles)
     "engine_ready": 600.0,  # first frame: sweep+warp kernel compiles
     "first_frame": 240.0,
@@ -138,6 +140,7 @@ def worker_main():
     from vkvolume_tpu.options import Test
 
     ds = DATASETS[dataset]
+    write_state({"phase": "synth", "attempt": attempt})
     vol_u8 = synthesize(ds, seed=0, scale=scale)
     write_state({"phase": "synth_done", "attempt": attempt,
                  "synth_s": round(time.time() - t_start, 1)})

@@ -246,13 +246,40 @@ def test_texture_tf_matches_closed_form(renderer):
     assert not np.array_equal(a, b)  # the quantised path really ran
 
 
-def test_live_octants_subset_and_aniso_image_matches_iso():
-    """Anisotropic skipmode in the sweep path: the live-octant reduction
-    (engine._live_octants) selects a strict subset of the 8 maps for a
-    directional view, and the rendered image matches the isotropic one
-    (octant maps only lengthen leaps; the occupied set is identical)."""
-    from vkvolume_tpu.engine.engine import _live_octants
+def test_octant_composite_matches_per_cell_selection():
+    """engine._octant_composite stitches the 8 octant maps along the
+    camera's three axis planes — the per-cell twin of the reference's
+    per-RAY map selection (volume_render.frag:209): for a pinhole camera
+    the ray through cell c has direction c - cam, so its octant is
+    (z<kz) + 2*(y<ky) + 4*(x<kx). Cells straddling a plane take the min
+    of both sides (rays of either sign pass through them)."""
+    import jax.numpy as jnp
 
+    from vkvolume_tpu.engine.engine import _octant_composite
+
+    rng = np.random.default_rng(7)
+    maps = rng.integers(0, 255, size=(8, 6, 7, 9), dtype=np.uint8)
+    for kz, ky, kx in [(2.4, 3.0, 4.7), (-1.0, 2.5, 100.0), (0.0, 0.0, 0.0)]:
+        got = np.asarray(_octant_composite(
+            jnp.asarray(maps), jnp.float32(kz), jnp.float32(ky),
+            jnp.float32(kx)))
+        exp = np.empty(maps.shape[1:], np.uint8)
+        for z in range(maps.shape[1]):
+            for y in range(maps.shape[2]):
+                for x in range(maps.shape[3]):
+                    zs = [z < kz] if np.floor(kz) != z else [True, False]
+                    ys = [y < ky] if np.floor(ky) != y else [True, False]
+                    xs = [x < kx] if np.floor(kx) != x else [True, False]
+                    exp[z, y, x] = min(
+                        maps[int(bz) + 2 * int(by) + 4 * int(bx), z, y, x]
+                        for bz in zs for by in ys for bx in xs)
+        np.testing.assert_array_equal(got, exp, err_msg=f"k={kz},{ky},{kx}")
+
+
+def test_aniso_image_matches_iso():
+    """Anisotropic skipmode in the sweep path renders the same image as
+    the isotropic one (octant maps only lengthen leaps; the occupied set
+    is identical — the reference's cross-mode pixel-parity invariant)."""
     eng_a, vol_a, _ = _engine("sweep",
                               skipping=SkippingType.ANISOTROPIC_DISTANCE)
     eng_i, _, _ = _engine("sweep", skipping=SkippingType.DISTANCE)
@@ -260,19 +287,10 @@ def test_live_octants_subset_and_aniso_image_matches_iso():
     out_i = eng_i.render(CAM, 32, 32)
     np.testing.assert_allclose(np.asarray(out_a.color),
                                np.asarray(out_i.color), atol=1e-5)
-
-    # The cached pose's view must reduce the octant set (azimuth 30 /
-    # elevation 20 → one sign per axis at most pixels; never all 8).
-    cache = vol_a._sweep_cache
-    views = [pose["view"] for key, pose in cache.items()
-             if isinstance(key, tuple) and key[0] == "pose"]
-    assert views and views[0] is not None
-    octs = _live_octants(views[0])
-    assert len(octs) < 8
-    assert all(0 <= i < 8 for i in octs)
-    # Mixed/None views fall back to all 8.
-    assert _live_octants(None) == tuple(range(8))
-    assert _live_octants({"mixed": True}) == tuple(range(8))
+    # The stitched map really was built (and cached per camera cell).
+    occ_keys = [k for k in vol_a._sweep_cache
+                if isinstance(k, tuple) and k[0] == "occ"]
+    assert occ_keys and all(len(k[3]) == 3 for k in occ_keys)
 
 
 @pytest.mark.parametrize("test_mode", [RT.RAY_ENTRY, RT.RAY_EXIT])

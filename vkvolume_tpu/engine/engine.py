@@ -28,44 +28,43 @@ from ..options import RenderOptions, SkippingType, Test
 from .volume import Volume
 
 
-def _live_octants(view) -> tuple:
-    """Octant-map indices live in a sweep-able frame.
-
-    Octant convention (volume_render.frag:209, accel/distance.py:178):
-    ``idx = (dz < 0) + 2*(dy < 0) + 4*(dx < 0)`` with direction components
-    ordered (x, y, z). In a non-mixed frame every ray shares the principal
-    direction sign; the u/v direction sign sets follow from the view's
-    wu/wv ranges (d_u = wu * d_p). Falls back to all 8 when the view stats
-    are unavailable."""
-    from ..render.sweep import _SLICE_AXES
-
-    if view is None or view.get("mixed") or not np.isfinite(
-            view.get("wu_lo", np.nan)):
-        return tuple(range(8))
-    sgn = 1 if view["sgn"] >= 0 else -1
-    p = view["p_axis"]
-    v_ax, u_ax = _SLICE_AXES[p]
-
-    def sign_set(lo, hi):
-        s = set()
-        if hi > -1e-9:
-            s.add(sgn)
-        if lo < 1e-9:
-            s.add(-sgn)
-        return s or {1, -1}
-
-    signs = {p: {sgn},
-             u_ax: sign_set(view["wu_lo"], view["wu_hi"]),
-             v_ax: sign_set(view["wv_lo"], view["wv_hi"])}
-    return tuple(
-        i for i in range(8)
-        if ((-1 if i & 4 else 1) in signs[0])
-        and ((-1 if i & 2 else 1) in signs[1])
-        and ((-1 if i & 1 else 1) in signs[2])
-    )
-
-
 import functools
+
+
+@jax.jit
+def _octant_composite(maps, kz, ky, kx):
+    """Per-cell octant-selected skip map for a pinhole camera.
+
+    The reference selects the distance map per RAY by the ray's direction
+    octant (volume_render.frag:209, binding of 8 maps at
+    volume_render_subpass.cpp:273-284). For a pinhole camera the direction
+    of the ray through any point c is c - cam, so the selected octant is a
+    pure function of WHICH SIDE of the camera's three axis planes the
+    sample lies on: idx = (z<kz) + 2*(y<ky) + 4*(x<kx) (the map convention
+    idx = (dz<0) + 2*(dy<0) + 4*(dx<0), accel/distance.py:178). Stitching
+    the 8 maps along those planes therefore reproduces the reference's
+    per-ray selection EXACTLY — for every ray at once, with no kernel
+    change — as 7 where-combines instead of a per-element gather.
+
+    ``maps`` is the (8, mz, my, mx) u8 stack; ``kz/ky/kx`` the camera
+    position in MAP-CELL coordinates per axis (voxel / block_size). A map
+    cell whose voxel extent straddles a camera plane carries rays of both
+    direction signs; that one-cell layer takes the elementwise min of the
+    two sides (conservative, identical occupied set)."""
+    def combine(a, b, n, k, axis):
+        # a = map for coord < plane (d<0 bit set), b = for coord >= plane.
+        shape = [1, 1, 1]
+        shape[axis] = n
+        c = jnp.arange(n).reshape(shape)
+        kc = jnp.floor(k).astype(jnp.int32)
+        out = jnp.where(c < kc, a, b)
+        return jnp.where(c == kc, jnp.minimum(a, b), out)
+
+    mz, my, mx = maps.shape[1:]
+    # idx = 4*bx + 2*by + bz; combine z pairs, then y, then x.
+    z = [combine(maps[i + 1], maps[i], mz, kz, 0) for i in (0, 2, 4, 6)]
+    y = [combine(z[2 * j + 1], z[2 * j], my, ky, 1) for j in (0, 1)]
+    return combine(y[1], y[0], mx, kx, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("map_shape_zyx", "st",
@@ -705,27 +704,48 @@ class Engine:
         dist_leap = self.options.skipping_type in (
             SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE)
         if volume.dist_maps is not None:
-            octs = tuple(range(volume.dist_maps.shape[0]))
-            if volume.dist_maps.shape[0] == 8:
-                octs = _live_octants(view)
+            maps = volume.dist_maps
             # Keyed on a monotonic rebuild counter, not id() (array ids can
             # be recycled after GC, silently serving stale maps).
             ver = getattr(volume, "_maps_version", 0)
-            occ_key = ("occ", p, ver, octs)
+            if maps.shape[0] == 8:
+                # Anisotropic: per-cell octant stitch (_octant_composite) —
+                # the exact twin of the reference's per-ray map selection.
+                # The stitch depends on the camera position only through
+                # which map cell holds it, so the cache key quantises to
+                # that cell (static poses and slow pans hit the cache).
+                bs = np.asarray(volume.effective_block_size_xyz, np.float64)
+                dz, hy, wx = volume.density.shape
+                cam = np.asarray(uniforms.cam_pos_tex, np.float64)
+                ks = (cam[2] * dz / bs[2], cam[1] * hy / bs[1],
+                      cam[0] * wx / bs[0])
+                sel = tuple(int(np.floor(k)) for k in ks)
+            else:
+                ks = None
+                sel = tuple(range(maps.shape[0]))
+            occ_key = ("occ", p, ver, sel)
             occ_t = cache.get(occ_key)
             if occ_t is None:
                 # Evict combines of superseded map builds: each is a full
                 # transposed u8 volume on device, and a long interactive
                 # session (one rebuild per TF edit) would otherwise leak
-                # device memory per edit.
-                for k in [k for k in cache
-                          if isinstance(k, tuple) and k[0] == "occ"
-                          and k[2] != ver]:
+                # device memory per edit. Octant stitches additionally
+                # rotate per camera cell — bound them like the pose cache.
+                stale = [k for k in cache
+                         if isinstance(k, tuple) and k[0] == "occ"
+                         and k[2] != ver]
+                live = [k for k in cache
+                        if isinstance(k, tuple) and k[0] == "occ"
+                        and k[2] == ver]
+                for k in stale + (live if len(live) > 16 else []):
                     del cache[k]
-                maps = volume.dist_maps
-                src = maps[octs[0]]
-                for i in octs[1:]:
-                    src = jnp.minimum(src, maps[i])
+                if ks is not None:
+                    src = _octant_composite(
+                        maps, *(jnp.float32(k) for k in ks))
+                else:
+                    src = maps[sel[0]]
+                    for i in sel[1:]:
+                        src = jnp.minimum(src, maps[i])
                 occ_t = sweep_mod.transpose_for_axis(src, p)
                 cache[occ_key] = occ_t
         tf = self._tf(volume)
