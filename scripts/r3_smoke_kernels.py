@@ -35,7 +35,7 @@ def step(name, fn):
         RESULTS[name] = f"{type(e).__name__}: {e}"[:300]
     print(f"[{time.time() - t0:7.1f}s] {name}: {RESULTS[name][:80]}",
           flush=True)
-    with open("/tmp/r3_smoke.json", "w") as fh:
+    with open(os.environ.get("SMOKE_OUT", "/tmp/r3_smoke.json"), "w") as fh:
         json.dump(RESULTS, fh, indent=1)
 
 
