@@ -123,6 +123,20 @@ for i in $(seq 1 400); do
       python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
     continue
   fi
+  if [ "$(grep -c frame_ms docs/ess_ratio_r4.json 2>/dev/null || echo 0)" -lt 3 ]; then
+    log "attempt $i: ESS-ratio stage breakdown (skipmode 0 vs 2 vs 3)"
+    timeout 3300 python scripts/ess_ratio.py > /tmp/ess_try.log 2>&1
+    continue
+  fi
+  if [ ! -s docs/update_floor_r4.txt ]; then
+    log "attempt $i: small-volume map-update floor profile (present b=4)"
+    { timeout 1200 env DS=present python scripts/profile_update.py \
+        && timeout 1200 env DS=present PALLAS_ONLY=1 \
+             python scripts/profile_update.py; } \
+      > /tmp/update_floor.log 2>&1 \
+      && cp /tmp/update_floor.log docs/update_floor_r4.txt
+    continue
+  fi
   if [ ! -s docs/profile_r4.json ]; then
     log "attempt $i: profiler variant A/B"
     timeout 3300 env PROF_VARIANTS=1 python scripts/profile_sweep.py \
