@@ -51,8 +51,8 @@ STATE = os.path.join(REPO, ".cache", "bench_state.json")
 # the engine/first-frame phases seconds when it hits.
 PHASE_BUDGET = {
     "boot": 240.0,          # jax import + platform init
-    "synth": 900.0,         # synthesize the full-scale volume (pure numpy,
-                            # ~8 min cold at full scale; cached after)
+    "synth": 1800.0,        # synthesize the full-scale volume (pure numpy,
+                            # 10-20 min cold at full scale; cached after)
     "synth_done": 600.0,    # engine build: maps (occupancy+DT compiles)
     "engine_ready": 600.0,  # first frame: sweep+warp kernel compiles
     "first_frame": 240.0,
