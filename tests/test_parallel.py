@@ -224,3 +224,38 @@ def test_volume_sharded_production_sweep(ert):
     m = (rd != 0) & (od != 0)
     np.testing.assert_allclose(od[m], rd[m], atol=1e-3)
     assert ((rd != 0) == (od != 0)).mean() > 0.995
+
+
+def test_volume_sharded_ert_worst_case_bound():
+    """The TP path's cross-shard ERT divergence is a derived GUARANTEE,
+    not an observed tolerance: the single-device march stops a ray once
+    alpha > 0.99 (volume_render.frag:293-299), i.e. at remaining
+    transmittance T < 0.01, while the sharded path over-composes later
+    segments scaled by exactly that T (parallel/mesh.py). Every
+    subsequent premultiplied contribution is <= T, so the worst-case
+    per-channel divergence is bounded by T < 0.01 even for the
+    adversarial volume: fully opaque content everywhere (ERT fires in
+    the first shard; maximal bright content hides behind it in the
+    other 7 shards)."""
+    from vkvolume_tpu.parallel import march_volume_sharded
+
+    vol = np.full((32, 32, 32), 255, np.uint8)   # worst case: all-bright
+    s = _setup(vol, size=24)
+    single = _march(vol, s, SkippingType.DISTANCE)
+    a = np.asarray(single.color)
+    covered = a[..., 3] > 0.0
+    # ERT really fired: every covered ray saturated past the cutoff.
+    assert covered.any() and (a[covered][:, 3] > 0.99).all()
+
+    mesh = make_mesh(8)
+    dist_maps = isotropic_distance(s["occ"])[None]
+    out = march_volume_sharded(
+        mesh,
+        jnp.asarray(vol), s["grad"], dist_maps, s["tf"], s["rays"],
+        jnp.asarray(s["bs"]), s["pvm"],
+        skipping_type=SkippingType.DISTANCE,
+        early_ray_termination=True,
+    )
+    b = np.asarray(out.color)
+    # The derived bound (0.01) plus f32 rebasing slack.
+    assert np.abs(a - b).max() <= 0.0105
