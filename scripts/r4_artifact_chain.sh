@@ -123,9 +123,12 @@ for i in $(seq 1 400); do
       python scripts/tpu_parity.py > /tmp/parity_try.log 2>&1
     continue
   fi
-  if [ "$(grep -c frame_ms docs/ess_ratio_r4.json 2>/dev/null || echo 0)" -lt 3 ]; then
-    log "attempt $i: ESS-ratio stage breakdown (skipmode 0 vs 2 vs 3)"
-    timeout 3300 python scripts/ess_ratio.py > /tmp/ess_try.log 2>&1
+  if [ "$(grep -c frame_ms docs/ess_ratio_r4.json 2>/dev/null || echo 0)" -lt 18 ]; then
+    log "attempt $i: ESS-ratio + aniso-vs-iso matrix ($(grep -c frame_ms docs/ess_ratio_r4.json 2>/dev/null || echo 0)/18)"
+    timeout 3300 env \
+      ESS_DATASETS=present,present-grad,beetle,beetle-grad,snake,snake-grad \
+      ESS_SKIPMODES=0,2,3 python scripts/ess_ratio.py \
+      > /tmp/ess_try.log 2>&1
     continue
   fi
   if [ ! -s docs/update_floor_r4.txt ]; then
