@@ -109,12 +109,17 @@ def seed_compile_cache():
 
 def worker_main():
     attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-    frames = int(os.environ.get("BENCH_FRAMES", "10"))
+    # 20 frames queued per forced sync: the tunnel's ~34 ms host round
+    # trip amortises to ~1.7 ms/frame (CLAUDE.md timing note); frames are
+    # nearly free at steady state (~20-50 ms each), so degraded attempts
+    # cut REPS (each rep ends in a sync), never frames-per-sync — round
+    # 4's first 2x2 run inflated the score by ~17 ms/frame this way.
+    frames = int(os.environ.get("BENCH_FRAMES", "20"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     if attempt == 1:
-        frames, reps = min(frames, 5), min(reps, 3)
+        reps = min(reps, 3)
     elif attempt >= 2:
-        frames, reps = min(frames, 2), min(reps, 2)
+        frames, reps = min(frames, 10), min(reps, 2)
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
@@ -198,13 +203,13 @@ def worker_main():
                  "first_frame_s": round(time.time() - t_start, 1)})
     log(f"first frame at {time.time() - t_start:.0f}s")
 
-    # Quick partial: 2 timed frames — worth emitting the moment we have
+    # Quick partial: 5 timed frames — worth emitting the moment we have
     # ANY steady-state number (a later wedge must not zero the score).
     t0 = time.perf_counter()
-    for _ in range(2):
+    for _ in range(5):
         out = eng.render(cam, width, height)
     sync(out)
-    quick_ms = (time.perf_counter() - t0) / 2 * 1e3
+    quick_ms = (time.perf_counter() - t0) / 5 * 1e3
     write_state({"phase": "partial", "attempt": attempt,
                  "result": result(quick_ms, [quick_ms], True)})
     log(f"quick partial: {quick_ms:.1f} ms/frame")

@@ -18,13 +18,21 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/r4_chain.log
 log() { echo "[$(date +%H:%M:%S)] $*" >> $LOG; }
 
-rm -f /tmp/r4_smoke_attempts
+rm -f /tmp/r4_smoke_attempts /tmp/r4_rectab_attempts
 
 smoke_done() {
   [ -s /tmp/r4_smoke.json ] || return 1
   [ "$(grep -c ':' /tmp/r4_smoke.json)" -ge 10 ] || return 1
   if [ "$(grep -c '"ok"' /tmp/r4_smoke.json)" -ge 10 ]; then return 0; fi
   [ "$(cat /tmp/r4_smoke_attempts 2>/dev/null || echo 0)" -ge 2 ]
+}
+rectab_done() {
+  [ "$(grep -c frame_ms docs/rect_ab_r4.json 2>/dev/null || echo 0)" -ge 3 ] \
+    && return 0
+  # a persistently refusing arm (e.g. wide-rect compile 500s) must not
+  # wedge the chain: 3 whole-script tries, then accept what we have
+  [ "$(cat /tmp/r4_rectab_attempts 2>/dev/null || echo 0)" -ge 3 ] \
+    && [ "$(grep -c frame_ms docs/rect_ab_r4.json 2>/dev/null || echo 0)" -ge 1 ]
 }
 static_done()      { [ -s docs/bench_static_r4.json ]; }
 aniso_done()       { [ -s docs/aniso_r4.json ]; }
@@ -55,6 +63,23 @@ rect_guard() {
       export VKV_MAX_RECT=256
     fi
   fi
+  # The MEASURED winner overrides the compile-only guard: round 4's first
+  # bench ran 53.4 ms vs the pre-wide-rect 18.6 ms — the wide-rect cost
+  # model is uncalibrated, so trust the on-device A/B when it exists.
+  if rectab_done; then
+    best=$(python - <<'EOF'
+import json
+rows = [json.loads(l) for l in open("docs/rect_ab_r4.json") if l.strip()]
+rows = [r for r in rows if "frame_ms" in r]
+if rows:
+    print(min(rows, key=lambda r: r["frame_ms"])["arm"])
+EOF
+)
+    if [ -n "$best" ]; then
+      export VKV_MAX_RECT=$best
+      log "rect A/B winner pins VKV_MAX_RECT=$best"
+    fi
+  fi
 }
 
 run_bench() {  # $1 = output json, $@... = extra env
@@ -79,6 +104,20 @@ for i in $(seq 1 400); do
     timeout 2700 env SMOKE_OUT=/tmp/r4_smoke.json \
       python scripts/r3_smoke_kernels.py > /tmp/smoke_try.log 2>&1 \
       && echo $((n + 1)) > /tmp/r4_smoke_attempts
+    continue
+  fi
+  if ! rectab_done; then
+    log "attempt $i: rect A/B ($(grep -c frame_ms docs/rect_ab_r4.json 2>/dev/null || echo 0)/3 arms)"
+    # arms are resumable one at a time: skip already-measured arms
+    arms=""
+    for a in 512 384 256; do
+      grep -q "\"arm\": $a" docs/rect_ab_r4.json 2>/dev/null || arms="$arms,$a"
+    done
+    arms=${arms#,}
+    n=$(cat /tmp/r4_rectab_attempts 2>/dev/null || echo 0)
+    [ -n "$arms" ] && timeout 2700 env RECT_ARMS=$arms \
+      python scripts/rect_ab.py > /tmp/rect_ab.log 2>&1
+    echo $((n + 1)) > /tmp/r4_rectab_attempts
     continue
   fi
   rect_guard
