@@ -147,12 +147,19 @@ def main():
                             "sweep stage")
 
     chans, iters = orig(*a, **k, return_chans=True)
-    rays, gp = a[3], a[6]
+    rays, uniforms, gp = a[3], a[4], a[6]
+    hcoef = a[8] if len(a) > 8 else None
+    from vkvolume_tpu.render.ray_setup import FrameUniforms as _FU
+
+    if not isinstance(uniforms, _FU):
+        # Packed per-pose scalars (engine fast path): unpack on the host
+        # (same dance as bench.harness.stage_breakdown).
+        uniforms, _pvm, gp, hcoef = sp.unpack_frame_scalars(
+            np.asarray(uniforms))
     if rays is None:
         from vkvolume_tpu.render.ray_setup import make_rays
 
-        rays = make_rays(a[4], height, width)
-    hcoef = a[8] if len(a) > 8 else None
+        rays = make_rays(uniforms, height, width)
     tf = a[2]
     res["warp_ms"] = timed(lambda: sp._pixel_stage_jit(
         chans, rays, gp, hcoef, tf, iters,
@@ -175,10 +182,16 @@ def main():
                 warp_variant=k.get("warp_variant", "A"),
                 warp_pipe=True), "warp stage (pipelined)")
         for prec in ("high", "default"):
-            res[f"sweep_tent_{prec}_ms"] = timed(
-                lambda p=prec: orig(*a, **k, return_chans=True,
-                                    tent_prec=p),
-                f"sweep tent={prec}")
+            # Mosaic rejects dot precision HIGH on this toolchain
+            # (docs/smoke_r4.json brick_rect512_tent_high); record the
+            # failure instead of killing the whole profile run.
+            try:
+                res[f"sweep_tent_{prec}_ms"] = timed(
+                    lambda p=prec: orig(*a, **k, return_chans=True,
+                                        tent_prec=p),
+                    f"sweep tent={prec}")
+            except NotImplementedError as e:
+                res[f"sweep_tent_{prec}_ms"] = f"unsupported: {e}"
         rw = k.get("rect_w", 256)
         if rw < 512 and k.get("R_brick") is not None \
                 and k["R_brick"] <= 64:

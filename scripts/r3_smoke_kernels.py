@@ -11,6 +11,7 @@ exports VKV_MAX_RECT=256 so the plans fall back to the proven geometry.
 """
 
 import json
+import sys
 import os
 import time
 
@@ -26,17 +27,34 @@ enable_compile_cache()
 RESULTS = {}
 
 
+# Transport-class failures (relay flapping / device half-up) say nothing
+# about whether a kernel class compiles — a run dominated by them must not
+# count as a smoke verdict (round 4: a flapping relay once recorded ALL
+# classes as FAILED_PRECONDITION and the chain pinned conservative
+# geometry off pure noise).
+_TRANSPORT = ("FAILED_PRECONDITION", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+              "TPU worker", "Socket closed")
+_transport_failures = 0
+
+
 def step(name, fn):
+    global _transport_failures
     t0 = time.time()
     try:
         fn()
         RESULTS[name] = "ok"
     except Exception as e:  # noqa: BLE001 - verdict file, not control flow
         RESULTS[name] = f"{type(e).__name__}: {e}"[:300]
+        if any(t in RESULTS[name] for t in _TRANSPORT):
+            _transport_failures += 1
     print(f"[{time.time() - t0:7.1f}s] {name}: {RESULTS[name][:80]}",
           flush=True)
     with open(os.environ.get("SMOKE_OUT", "/tmp/r3_smoke.json"), "w") as fh:
         json.dump(RESULTS, fh, indent=1)
+    if _transport_failures >= 3:
+        print("aborting: transport failures, not kernel verdicts",
+              flush=True)
+        sys.exit(1)
 
 
 def _brick_inputs():
@@ -100,6 +118,29 @@ def brick(rect_w, tent_prec="highest", tile_h=16, R=24, span_blks=2):
     assert np.isfinite(v)
 
 
+def brick_grad_unaligned():
+    """The -grad production class after the round-4 slab-density fix
+    (RenderOptions.slab_density="auto"): n_slabs = dim_max·sf > Np (the
+    unaligned plane-lerp path) WITH the gradient-modulated TF. New Mosaic
+    specialisation — must compile before the -grad parity/bench steps."""
+    import dataclasses as _dc
+
+    sb, vol_t, occ_t, tf, u, pvm, grid, Np = _brick_inputs()
+    rng = np.random.default_rng(3)
+    grad_t = jnp.asarray(rng.integers(0, 255, vol_t.shape, np.uint8))
+    f32 = np.float32
+    tf = _dc.replace(tf, use_gradient=True,
+                     gradient_min=jnp.asarray(0.1, f32),
+                     gradient_range_inv=jnp.asarray(1.0 / 0.2, f32))
+    out = sb._sweep_bricks_jit(
+        vol_t, occ_t, tf, None, u, pvm, grad_t, grid,
+        p_axis=2, R=24, ert=True, test=None, count_samples=False,
+        n_slabs=int(Np * 1.68), sgn=1, tile_h=16, span_blks=2,
+        dist_leap=True, rect_w=256,
+        interpret=os.environ.get("SMOKE_INTERPRET") == "1")
+    assert np.isfinite(float(np.asarray(out.color).sum()))
+
+
 def warp_full_src(pipeline=False):
     from vkvolume_tpu.render import warp_pallas as wp
 
@@ -151,6 +192,7 @@ def main():
          lambda: brick(384, tile_h=32, R=64, span_blks=6))
     step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
+    step("brick_grad_unaligned", brick_grad_unaligned)
     step("warp_full_src_rect", warp_full_src)
     step("warp_pipelined", lambda: warp_full_src(pipeline=True))
     step("warp_pipelined_prod", warp_pipelined_prod)

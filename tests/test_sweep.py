@@ -277,6 +277,8 @@ def _frame_setup(azimuth, *, gradient=False, n=40):
     (205.0, False, 1.0),    # sgn < 0, aligned
     (25.0, True, 1.0),      # gradient-modulated TF
     (25.0, False, 1.5),     # non-aligned (plane-pair lerp path)
+    (25.0, True, 1.68),     # gradient TF at the dim_max-matched density
+                            # (slab_density="auto" production class)
 ])
 def test_brick_kernel_matches_per_slab(monkeypatch, azimuth, gradient,
                                        oversample):
@@ -381,3 +383,41 @@ def test_brick_wide_rect_matches_default(rect_w):
     np.testing.assert_allclose(np.asarray(out.color), r, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.depth),
                                np.asarray(ref.depth), atol=1e-6)
+
+
+def test_grad_tf_parity_density():
+    """RenderOptions.slab_density: gradient TFs must get the reference's
+    dim_max-matched quadrature density (volume_render.frag:176-179 steps at
+    1/(dim_max·sf) per ray). At the old Np-per-axis density the production
+    sweep diverged from the reference-exact marcher on 28 % of covered
+    beetle-grad pixels (>8/255); at the dim_max density it matches
+    everywhere. Both facts are pinned here: the default closes the gap AND
+    slab_density="axis" still reproduces it (cause, not coincidence)."""
+    from vkvolume_tpu.bench.datasets import DATASETS, synthesize
+    from vkvolume_tpu.bench.harness import benchmark_camera, make_engine
+
+    vol = synthesize(DATASETS["beetle-grad"], seed=0, scale=0.2)
+    cam = benchmark_camera(aspect=480 / 272)
+
+    def render(renderer, density=None):
+        eng, _, _, _ = make_engine(
+            "beetle-grad", 2, 4, scale=0.2, volume_u8=vol,
+            renderer=renderer, test=RT.NONE, ert=True)
+        if density is not None:
+            eng.options.slab_density = density
+        return np.asarray(eng.render(cam, 480, 272).color)
+
+    cm = render("marcher")
+    cov = cm[..., 3] > 1 / 255
+
+    cp = render("pallas")                     # default: "auto" → dim_max
+    bad = (np.abs(cp - cm).max(-1) > 8 / 255) & (cov | (cp[..., 3] > 1 / 255))
+    assert cov.sum() > 5000                   # non-trivial frame
+    assert bad.sum() == 0, f"{bad.sum()} pixels >8/255 at ref density"
+
+    cp_axis = render("pallas", density="axis")
+    bad_axis = (np.abs(cp_axis - cm).max(-1) > 8 / 255) \
+        & (cov | (cp_axis[..., 3] > 1 / 255))
+    assert bad_axis.sum() > 0.1 * cov.sum(), (
+        "Np-density no longer diverges — the auto policy's gradient-TF "
+        "branch may be obsolete; re-measure before simplifying")

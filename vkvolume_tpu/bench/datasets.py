@@ -65,6 +65,13 @@ DATASETS = {
 
 _CACHE_VERSION = 4  # bump when the construction changes (invalidates .cache)
 
+# Texture wavelength of the fine CT-noise field, in voxels. 2 (half-res
+# noise) is Nyquist-adversarial for ANY resampling renderer: round-4 parity
+# measured the production sweep diverging on 5-7 % of covered -grad pixels
+# at the reference's own quadrature density, while λ=4 content (matching a
+# real CT's reconstruction-filtered texture) resamples to ~0.0x %.
+_FINE_DIV = 2
+
 # Reference occupancies of the -grad TF configs
 # (scripts/benchmark_results_0.csv rows 9/19/29) — the fine-texture
 # amplitude is calibrated so the gradient-modulated TF sees a matching
@@ -267,6 +274,55 @@ def _grad_occupancy_pct(vol_u8: np.ndarray, imin: float, gmin: float,
     return float(occ.mean() * 100.0)
 
 
+def _calib_key(base: str, seed: int, scale: float) -> str:
+    return f"{base}_v{_CACHE_VERSION}_s{seed}_x{scale}"
+
+
+def _load_calib(base: str, seed: int, scale: float):
+    """Calibrated synthesis knobs: .cache first (this machine's runs), then
+    the packaged defaults (committed results of the full-scale secant
+    loops). A hit turns the multi-build calibration into ONE deterministic
+    build — the loop's only outputs are the control c and dither rho, and
+    build()/dithered() consume no RNG beyond the seeded arrays, so replay
+    is bit-exact."""
+    import json
+    import os
+
+    key = _calib_key(base, seed, scale)
+    for path in (os.path.join(".cache", "synth_calib.json"),
+                 os.path.join(os.path.dirname(__file__), "synth_calib.json")):
+        try:
+            with open(path) as fh:
+                entry = json.load(fh).get(key)
+        except (OSError, ValueError):
+            entry = None
+        if entry is not None:
+            return entry
+    return None
+
+
+def _store_calib(base: str, seed: int, scale: float, entry: dict) -> None:
+    import json
+    import os
+    import tempfile
+
+    try:
+        os.makedirs(".cache", exist_ok=True)
+        path = os.path.join(".cache", "synth_calib.json")
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            data = {}
+        data[_calib_key(base, seed, scale)] = entry
+        fd, tmp = tempfile.mkstemp(dir=".cache")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(data, fh, indent=1)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only tree: calibration still returns the volume
+
+
 def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     base = ds.key.split("-")[0]
     w, h, d = (max(8, int(round(e * scale))) for e in ds.extent)
@@ -289,7 +345,8 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     # amplitude is CALIBRATED below so the -grad TF config's occupancy lands
     # on the reference's (one volume, two TF configs, exactly like the
     # reference — scripts/benchmark.py:27-34).
-    fine = rng.standard_normal((d // 2 + 1, h // 2 + 1, w // 2 + 1))
+    fine = rng.standard_normal((d // _FINE_DIV + 1, h // _FINE_DIV + 1,
+                                w // _FINE_DIV + 1))
     fine = _upsample(_upsample(_upsample(
         fine.astype(np.float32), 0, d), 1, h), 2, w)
     structure = field
@@ -322,23 +379,68 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
         top_frac = float(np.clip(c / (0.04 / 0.22), 0.12, 1.0))
         return amp, thr_u8 + (255.0 - thr_u8) * top_frac
 
+    grad_key = base + "-grad"
+    gds = DATASETS.get(grad_key)
+    target = _GRAD_OCC_TARGET.get(base)
+
+    def dithered(src: np.ndarray, rho: float) -> np.ndarray:
+        # Post-remap ±A dither on a fraction rho of interior voxels
+        # (v > thr + A keeps the base occupancy bit-exact). A is sized so
+        # an isolated dithered voxel pushes its tap-neighbours' tetrahedron
+        # magnitude (|0.25·k·A|·√3 / 255, accel/gradient.py) past the
+        # -grad window's gmin with ~30 % margin.
+        A = int(min(110.0, max(16.0, gds.gmin * 255.0 * (4.0 / 1.732)
+                               * 1.3)))
+        out = src.astype(np.int16, copy=True)
+        dd = src.shape[0]
+        for z0 in range(0, dd, 64):        # bounded memory
+            r = np.random.default_rng(
+                (seed + 7919, z0)).integers(
+                0, 1 << 16, size=(min(64, dd - z0),) + src.shape[1:],
+                dtype=np.uint16)
+            sl = slice(z0, z0 + r.shape[0])
+            vs = src[sl]
+            # Occupied voxels just above the TF threshold can only
+            # dither UP (never crossing back below thr — base
+            # occupancy stays bit-exact); higher voxels use a
+            # random sign. Without the upward-only tier the
+            # eligible set starves (most of the occupied tail sits
+            # just above thr).
+            up_only = vs <= thr_u8 + A
+            sign = np.where(up_only, np.int16(1),
+                            ((r & 1) * 2 - 1).astype(np.int16))
+            pick = ((r >> 1) < rho * 32768.0) & (vs > thr_u8)
+            out[sl] += np.where(pick, sign * A, 0).astype(np.int16)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    # Calibrated-knob replay: the secant loops below only ever OUTPUT the
+    # control c and the dither fraction rho; build()/dithered() are
+    # deterministic in (seed, c, rho), so a recorded pair reproduces the
+    # full calibration's volume bit-exactly with ONE build — turning the
+    # 10-20 min cold full-scale synthesis into ~2-3 min.
+    calib = _load_calib(base, seed, scale)
+    if calib is not None:
+        vol = build(*knobs(float(calib["c"])))
+        if calib.get("rho") is not None:
+            vol = dithered(vol, float(calib["rho"]))
+        return vol
+
     c = 1.0
     vol = build(*knobs(c))
-    grad_key = base + "-grad"
-    target = _GRAD_OCC_TARGET.get(base)
-    if grad_key in DATASETS and target is not None:
-        gds = DATASETS[grad_key]
-        best = (np.inf, vol, None)
+    chosen_c, chosen_rho = c, None
+    occ_g = None
+    if gds is not None and target is not None:
         occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
         if occ_g > 1.25 * target:
             # Structural floor overshoots: walk the noise/stretch control
             # down (the only regime where it converges — when UNDER, the
             # occupancy remap renormalises amplitude away and the dither
             # stage below is the effective control).
+            best = (np.inf, vol, None, c)
             for _ in range(5):
                 err = abs(np.log(max(occ_g, 1e-3) / target))
                 if err < best[0]:
-                    best = (err, vol, occ_g)
+                    best = (err, vol, occ_g, c)
                 if 0.8 * target <= occ_g <= 1.25 * target:
                     break
                 c = float(np.clip(
@@ -347,61 +449,39 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
                 occ_g = _grad_occupancy_pct(vol, gds.imin, gds.gmin)
             err = abs(np.log(max(occ_g, 1e-3) / target))
             if err < best[0]:
-                best = (err, vol, occ_g)
-            _, vol, occ_g = best
+                best = (err, vol, occ_g, c)
+            _, vol, occ_g, chosen_c = best
         if occ_g < 0.8 * target:
             # The pre-remap noise amplitude saturates (the occupancy remap
             # renormalises distribution width away), so the structural
-            # gradient floor undershoots. Add post-remap ±A dither to a
-            # CALIBRATED FRACTION of interior voxels (v > thr + A keeps the
-            # base occupancy bit-exact); the grad occupancy is linear in
-            # the fraction, so one secant step converges. A is sized so an
-            # isolated dithered voxel pushes its tap-neighbours' tetrahedron
-            # magnitude (|0.25·k·A|·√3 / 255, accel/gradient.py) past the
-            # -grad window's gmin with ~30 % margin.
-            A = int(min(110.0, max(16.0, gds.gmin * 255.0 * (4.0 / 1.732)
-                                   * 1.3)))
-
-            def dithered(rho: float) -> np.ndarray:
-                out = vol.astype(np.int16, copy=True)
-                dd = vol.shape[0]
-                for z0 in range(0, dd, 64):        # bounded memory
-                    r = np.random.default_rng(
-                        (seed + 7919, z0)).integers(
-                        0, 1 << 16, size=(min(64, dd - z0),) + vol.shape[1:],
-                        dtype=np.uint16)
-                    sl = slice(z0, z0 + r.shape[0])
-                    vs = vol[sl]
-                    # Occupied voxels just above the TF threshold can only
-                    # dither UP (never crossing back below thr — base
-                    # occupancy stays bit-exact); higher voxels use a
-                    # random sign. Without the upward-only tier the
-                    # eligible set starves (most of the occupied tail sits
-                    # just above thr).
-                    up_only = vs <= thr_u8 + A
-                    sign = np.where(up_only, np.int16(1),
-                                    ((r & 1) * 2 - 1).astype(np.int16))
-                    pick = ((r >> 1) < rho * 32768.0) & (vs > thr_u8)
-                    out[sl] += np.where(pick, sign * A, 0).astype(np.int16)
-                return np.clip(out, 0, 255).astype(np.uint8)
-
-            v1 = dithered(1.0)
+            # gradient floor undershoots — the dither fraction is the
+            # effective control; occupancy is linear in it, so one secant
+            # step converges.
+            v1 = dithered(vol, 1.0)
             occ1 = _grad_occupancy_pct(v1, gds.imin, gds.gmin)
             if occ1 > occ_g + 1e-6:
                 rho = float(np.clip(
                     (target - occ_g) / (occ1 - occ_g), 0.0, 1.0))
-                v2 = dithered(rho)
+                v2 = dithered(vol, rho)
                 occ2 = _grad_occupancy_pct(v2, gds.imin, gds.gmin)
-                cands = [(abs(np.log(max(o, 1e-3) / target)), vv)
-                         for o, vv in ((occ_g, vol), (occ1, v1), (occ2, v2))]
+                cands = [(abs(np.log(max(o, 1e-3) / target)), vv, rr, o)
+                         for o, vv, rr in ((occ_g, vol, None),
+                                           (occ1, v1, 1.0),
+                                           (occ2, v2, rho))]
                 if not (0.8 * target <= occ2 <= 1.25 * target) \
                         and abs(occ2 - occ_g) > 1e-6:
                     rho2 = float(np.clip(
                         rho * (target - occ_g) / (occ2 - occ_g), 0.0, 1.0))
-                    v3 = dithered(rho2)
+                    v3 = dithered(vol, rho2)
                     occ3 = _grad_occupancy_pct(v3, gds.imin, gds.gmin)
-                    cands.append((abs(np.log(max(occ3, 1e-3) / target)), v3))
-                vol = min(cands, key=lambda t: t[0])[1]
+                    cands.append(
+                        (abs(np.log(max(occ3, 1e-3) / target)), v3, rho2,
+                         occ3))
+                _, vol, chosen_rho, occ_g = min(cands, key=lambda t: t[0])
+    _store_calib(base, seed, scale,
+                 {"c": chosen_c, "rho": chosen_rho,
+                  "occ_grad_pct": None if occ_g is None
+                  else round(float(occ_g), 4)})
     return vol
 
 

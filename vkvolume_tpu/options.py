@@ -49,6 +49,25 @@ class RenderOptions:
     # resampling parity gap for a ~1-3 % pixel budget; off by default (the
     # headline path matches the reference's own frame semantics).
     edge_repair: bool = False
+    # Max fraction of the frame the edge-repair pass may re-march
+    # (rounded up to 1024 rays for stable jit shapes). 1/32 covers the
+    # intensity-TF silhouette class; gradient TFs flag many more suspects
+    # (grazing-ray class, docs/PERF.md round-4 note) — parity/quality runs
+    # can raise it, paying proportional oracle cost.
+    repair_budget: float = 1.0 / 32.0
+    # Slab quadrature density for the plane-sweep renderers. The reference
+    # steps every ray at 1/(dim_max·sf) of its length
+    # (volume_render.frag:176-179); a sweep slab per VOXEL PLANE gives only
+    # Np samples along the principal axis — an undersampling of
+    # dim_max/Np (1.68× on the beetle) that is invisible on smooth
+    # intensity-only TFs (measured ≤0.04 % pixels >8/255) but produces the
+    # entire gradient-TF parity gap (28 % of covered pixels at 1× density,
+    # 0 % at 2×; see tests/test_sweep.py::test_grad_tf_parity_density).
+    #   "auto" — dim_max-matched density for gradient TFs, plane-aligned
+    #            (Np) for intensity-only TFs (measured-safe fast path);
+    #   "ref"  — always dim_max-matched (reference quadrature density);
+    #   "axis" — always Np (round-3 behavior).
+    slab_density: str = "auto"
 
 
 @dataclasses.dataclass
