@@ -12,8 +12,14 @@ enable_compile_cache()
 from vkvolume_tpu.bench.harness import (benchmark_camera, freeze_orbit_statics,
                                         make_engine)
 
+import os
+
 W, H = 1920, 1080
-eng, *_ = make_engine("beetle", 2, 4, scale=1.0)
+# VOL_NPY: profile against a specific cached volume (the per-pose host cost
+# is content-independent; this avoids triggering a fresh full-scale synth).
+_npy = os.environ.get("VOL_NPY")
+eng, *_ = make_engine("beetle", 2, 4, scale=1.0,
+                      volume_u8=np.load(_npy) if _npy else None)
 aspect = W / H
 vol = eng.volumes[0]
 cam_for = lambda i: benchmark_camera(aspect, azimuth=30.0 + 2.0 * i)

@@ -63,14 +63,14 @@ DATASETS = {
                                (1024, 1024, 795), 0.2, 0.8, 0.06, 0.12, 0.67),
 }
 
-_CACHE_VERSION = 4  # bump when the construction changes (invalidates .cache)
+_CACHE_VERSION = 5  # bump when the construction changes (invalidates .cache)
 
 # Texture wavelength of the fine CT-noise field, in voxels. 2 (half-res
 # noise) is Nyquist-adversarial for ANY resampling renderer: round-4 parity
 # measured the production sweep diverging on 5-7 % of covered -grad pixels
 # at the reference's own quadrature density, while λ=4 content (matching a
 # real CT's reconstruction-filtered texture) resamples to ~0.0x %.
-_FINE_DIV = 2
+_FINE_DIV = 4
 
 # Reference occupancies of the -grad TF configs
 # (scripts/benchmark_results_0.csv rows 9/19/29) — the fine-texture
@@ -106,6 +106,35 @@ def _smooth(a: np.ndarray, r: int) -> np.ndarray:
         out = (np.take(c, np.arange(k - 1, k - 1 + a.shape[axis]), axis=axis)
                - np.take(c, np.arange(0, a.shape[axis]), axis=axis)) / k
     return out
+
+
+def _band_noise(shape, seed_key, lam: int) -> np.ndarray:
+    """Band-limited unit-amplitude noise: a coarse gaussian field at
+    wavelength ``lam`` voxels, linearly upsampled to ``shape``, normalised
+    to unit std and squashed to [-1, 1]. This is the texture model for
+    everything noise-like in the synthetics: real CT noise is band-limited
+    by the scanner's reconstruction filter, and single-voxel impulses are
+    Nyquist-adversarial for ANY resampling renderer (round-4 parity
+    measured 41 % of beetle pixels diverging under the v4 ±A single-voxel
+    dither at rho=1, vs 0.0x % for λ=4 content)."""
+    cs = tuple(max(2, -(-s // lam) + 1) for s in shape)
+    r = np.random.default_rng(seed_key).standard_normal(cs).astype(np.float32)
+    for ax, n in enumerate(shape):
+        r = _upsample(r, ax, n)
+    r /= max(float(r.std()), 1e-6)
+    return np.clip(r, -1.5, 1.5) * np.float32(1.0 / 1.5)
+
+
+def _coverage_mask(shape, seed_key, rho: float, lam: int = 16) -> np.ndarray:
+    """Soft indicator covering ~rho of the volume in λ≈16-voxel patches
+    (coarse bernoulli field, linearly upsampled). Used to gate the dither
+    so the -grad occupancy is ~linear in rho for the secant."""
+    cs = tuple(max(2, -(-s // lam) + 1) for s in shape)
+    r = np.random.default_rng(seed_key).random(cs).astype(np.float32)
+    m = (r < rho).astype(np.float32)
+    for ax, n in enumerate(shape):
+        m = _upsample(m, ax, n)
+    return m
 
 
 def _coords(shape):
@@ -355,7 +384,11 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     thr_u8 = base_ds.imin * 255.0 + 0.75
 
     def build(amp: float, top_u8: float) -> np.ndarray:
-        f2 = structure * (1.0 + amp * fine) + 0.015 * np.abs(fine)
+        # The additive term (faint texture everywhere, incl. just outside
+        # the specimen shell) scales down with the calibration control so
+        # the overshoot walk has no c-independent gradient floor.
+        f2 = (structure * (1.0 + amp * fine)
+              + (0.015 * min(1.0, amp / 0.22)) * np.abs(fine))
         # Remap so that P(round(value) > imin*255) == occupancy_pct exactly
         # (the quantile lands at thr + 0.75 so u8 rounding keeps it above
         # the strict > threshold the occupancy kernel uses), then STRETCH
@@ -375,8 +408,12 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     # c instead. occ_grad(c) is monotone increasing, so a multiplicative
     # secant with best-iterate tracking converges.
     def knobs(c: float):
-        amp = float(np.clip(0.22 * c, 0.04, 1.5))
-        top_frac = float(np.clip(c / (0.04 / 0.22), 0.12, 1.0))
+        # Floors deepened for v5 (λ=4): band-limited noise drives a larger
+        # tetrahedron magnitude per amplitude than the v4 λ=2 noise (the
+        # taps are coherent), so the overshoot walk must be able to descend
+        # further before it plateaus.
+        amp = float(np.clip(0.22 * c, 0.008, 1.5))
+        top_frac = float(np.clip(c / (0.04 / 0.22), 0.05, 1.0))
         return amp, thr_u8 + (255.0 - thr_u8) * top_frac
 
     grad_key = base + "-grad"
@@ -384,34 +421,30 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
     target = _GRAD_OCC_TARGET.get(base)
 
     def dithered(src: np.ndarray, rho: float) -> np.ndarray:
-        # Post-remap ±A dither on a fraction rho of interior voxels
-        # (v > thr + A keeps the base occupancy bit-exact). A is sized so
-        # an isolated dithered voxel pushes its tap-neighbours' tetrahedron
-        # magnitude (|0.25·k·A|·√3 / 255, accel/gradient.py) past the
-        # -grad window's gmin with ~30 % margin.
-        A = int(min(110.0, max(16.0, gds.gmin * 255.0 * (4.0 / 1.732)
-                               * 1.3)))
-        out = src.astype(np.int16, copy=True)
-        dd = src.shape[0]
-        for z0 in range(0, dd, 64):        # bounded memory
-            r = np.random.default_rng(
-                (seed + 7919, z0)).integers(
-                0, 1 << 16, size=(min(64, dd - z0),) + src.shape[1:],
-                dtype=np.uint16)
-            sl = slice(z0, z0 + r.shape[0])
-            vs = src[sl]
-            # Occupied voxels just above the TF threshold can only
-            # dither UP (never crossing back below thr — base
-            # occupancy stays bit-exact); higher voxels use a
-            # random sign. Without the upward-only tier the
-            # eligible set starves (most of the occupied tail sits
-            # just above thr).
-            up_only = vs <= thr_u8 + A
-            sign = np.where(up_only, np.int16(1),
-                            ((r & 1) * 2 - 1).astype(np.int16))
-            pick = ((r >> 1) < rho * 32768.0) & (vs > thr_u8)
-            out[sl] += np.where(pick, sign * A, 0).astype(np.int16)
-        return np.clip(out, 0, 255).astype(np.uint8)
+        # v5: band-limited (λ=_FINE_DIV) multiplicative texture on the
+        # occupied tail, gated by a λ=16 coverage mask so the -grad
+        # occupancy is ~linear in rho. Replaces the v4 single-voxel ±A
+        # salt-and-pepper, which was Nyquist-adversarial: round-4 device
+        # parity measured 5.3 % of beetle TF-a pixels >8/255 at rho=1
+        # while λ=4 bumps resample to ~0.0x % (probe matrix, docs/PERF.md).
+        # Head-limiting (amp ≤ src - (thr+1)) keeps the base TF-a
+        # occupancy bit-exact: occupied voxels never cross back below thr
+        # and unoccupied voxels are untouched. A is sized so a full-head
+        # bump pushes tap-neighbour tetrahedron magnitudes past the -grad
+        # window's gmin with ~30 % margin (|0.25·k·A|·√3/255,
+        # accel/gradient.py).
+        A = float(min(110.0, max(16.0, gds.gmin * 255.0 * (4.0 / 1.732)
+                                 * 1.3)))
+        n = _band_noise(src.shape, (seed + 7919, 104729), _FINE_DIV)
+        if rho < 1.0:
+            n *= _coverage_mask(src.shape, (seed + 7919, 65537), rho)
+        head = np.maximum(src.astype(np.float32) - (thr_u8 + 1.0), 0.0)
+        np.minimum(head, A, out=head)
+        head *= n
+        del n
+        np.rint(head, out=head)
+        head += src
+        return np.clip(head, 0.0, 255.0).astype(np.uint8)
 
     # Calibrated-knob replay: the secant loops below only ever OUTPUT the
     # control c and the dither fraction rho; build()/dithered() are
@@ -437,7 +470,7 @@ def _synthesize_impl(ds: BenchDataset, seed: int, scale: float) -> np.ndarray:
             # occupancy remap renormalises amplitude away and the dither
             # stage below is the effective control).
             best = (np.inf, vol, None, c)
-            for _ in range(5):
+            for _ in range(8):
                 err = abs(np.log(max(occ_g, 1e-3) / target))
                 if err < best[0]:
                     best = (err, vol, occ_g, c)

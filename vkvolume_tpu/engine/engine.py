@@ -319,11 +319,18 @@ class Engine:
         t0 = time.perf_counter()
         for _ in range(runs):
             maps = build_maps()
-        # One forced sync after the loop: the queued builds execute serially
-        # on-device, so wall/runs is the per-build time plus ~1/runs of the
-        # ~34 ms transport round trip (timing it per build would add the
-        # full round trip to every sample).
-        sync(maps)
+        if self.benchmark_mode:
+            # One forced sync after the loop: the queued builds execute
+            # serially on-device, so wall/runs is the per-build time plus
+            # ~1/runs of the ~34 ms transport round trip (timing it per
+            # build would add the full round trip to every sample).
+            sync(maps)
+        # Interactive edits stay QUEUED: the reference's update path records
+        # compute dispatches with no CPU readback between the TF edit and
+        # the next draw (volume_render.cpp:392-445) — the next presented
+        # frame consumes the new maps device-side and pays one sync for
+        # rebuild + render together. map_update_ms then reports dispatch
+        # cost only; the per-edit latency lives in the frame time.
         stats.map_update_ms = (time.perf_counter() - t0) * 1e3 / runs
         volume.dist_maps = maps
         volume._maps_version = getattr(volume, "_maps_version", 0) + 1
