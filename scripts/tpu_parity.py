@@ -28,22 +28,34 @@ def render(renderer, dataset, skipmode, width, height, scale, vol_u8,
                                volume_u8=vol_u8, renderer=renderer,
                                benchmark_mode=False)
     eng.options.edge_repair = edge_repair
-    if edge_repair and dataset.endswith("-grad"):
-        # Gradient TFs flag far more suspects (grazing-ray class,
-        # docs/PERF.md round-4 note) — the default 1/32 budget overflows
-        # and leaves the tail unrepaired; pay the larger oracle pass in
-        # the quality column and report its cost honestly.
+    if edge_repair:
+        # The round-4 detector adds a color-range term (interior TF-color
+        # edges at flat alpha — the class the alpha/depth detector missed),
+        # which flags ~11 % of the beetle frame — the default 1/32 budget
+        # would overflow and leave the tail unrepaired; pay the larger
+        # oracle pass in the quality column and report its cost honestly.
         eng.options.repair_budget = 1.0 / 8.0
     cam = benchmark_camera(aspect=width / height)
     out = eng.render(cam, width, height)
     color = np.asarray(out.color)
     used = getattr(eng, "last_renderer", renderer)
+    # Warm per-frame cost (the cost/benefit column): the first render paid
+    # compiles + map builds; queue a few same-pose frames and sync once.
+    frame_ms = None
+    if renderer == "pallas":
+        n = 10
+        t0 = time.time()
+        for _ in range(n):
+            out = eng.render(cam, width, height)
+        out.color.block_until_ready()
+        float(np.asarray(out.color.ravel()[0]))
+        frame_ms = (time.time() - t0) * 1e3 / n
     if edge_repair:
         # (0, 0) when the frame never hit the sweep path (marcher frames
         # are already oracle-exact and need no repair).
         n_found, budget = getattr(eng, "last_repair_px", (0, 0))
-        return color, used, (int(n_found), int(budget))
-    return color, used
+        return color, used, (int(n_found), int(budget)), frame_ms
+    return color, used, frame_ms
 
 
 def main():
@@ -83,8 +95,8 @@ def main():
         cfg_scale = float(parts[2]) if len(parts) > 2 else scale
         t0 = time.time()
         vol = synthesize(DATASETS[dataset], scale=cfg_scale)
-        got, used = render("pallas", dataset, skipmode, width, height,
-                           cfg_scale, vol)
+        got, used, base_ms = render("pallas", dataset, skipmode, width,
+                                    height, cfg_scale, vol)
         okey = (dataset, cfg_scale)
         if okey not in oracle_cache:
             oracle_cache[okey] = render("marcher", dataset, 2, width,
@@ -109,18 +121,20 @@ def main():
             alpha_mean_ref=round(float(a_ref.mean()), 5),
             alpha_mean_got=round(float(got[..., 3].mean()), 5),
             covered_px=int((a_ref > 0).sum()),
+            frame_ms=None if base_ms is None else round(base_ms, 2),
             wall_s=round(time.time() - t0, 1),
         )
         # Quality mode: the same frame with edge_repair (suspect pixels
         # re-marched by the oracle) — the u8-tolerance parity column.
         if os.environ.get("PARITY_REPAIR", "1") != "0":
             t1 = time.time()
-            got_r, _, (n_rep, budget) = render(
+            got_r, _, (n_rep, budget), rep_ms = render(
                 "pallas", dataset, skipmode, width, height, cfg_scale,
                 vol, edge_repair=True)
             results[cfg]["edge_repair"] = dict(
                 **_stats(np.abs(got_r - ref)),
                 repaired_px=n_rep, budget_px=budget,
+                frame_ms=None if rep_ms is None else round(rep_ms, 2),
                 wall_s=round(time.time() - t1, 1),
             )
         print(f"{cfg}: {results[cfg]}", flush=True)

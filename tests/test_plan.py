@@ -201,3 +201,65 @@ def test_orbit_frozen_tiers_cover_every_pose():
     # width) for poses whose own band rejects their grid — previously
     # those fell to the ~100 ms XLA-gather warp (3/51 poses).
     assert xla_warp == 0, (pallas_warp, xla_warp)
+
+
+def test_select_view_plan_forced_orbit_fast_path():
+    """Engine fast path for frozen orbits (sweep_pallas.
+    select_view_plan_forced): every pose of the benchmark orbit must
+    resolve to a forced Pallas-warp plan whose jit statics are drawn
+    VERBATIM from some frozen tier (a novel static would be a mid-orbit
+    multi-minute Mosaic compile — the failure mode the fast path must
+    never reintroduce while skipping the 25-60 ms unforced search)."""
+    from vkvolume_tpu.bench.harness import (benchmark_camera,
+                                            freeze_orbit_statics)
+    from vkvolume_tpu.engine import Engine, RenderOptions, from_array
+    from vkvolume_tpu.options import SkippingType, VolumeOptions
+
+    d = h = w = 416
+    vol = from_array(np.zeros((d, h, w), np.uint8),
+                     VolumeOptions(intensity_min=0.1), block_size=4)
+    vol.set_scale((100.0 / max(d, h, w),) * 3)
+    eng = Engine(RenderOptions(skipping_type=SkippingType.DISTANCE),
+                 renderer="pallas")
+    W, H = 1920, 1080
+    cams = [benchmark_camera(W / H, azimuth=30 + 2 * i) for i in range(51)]
+    force = freeze_orbit_statics(eng, vol, cams, W, H)
+
+    def vshape(p):
+        return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
+
+    static_keys = {
+        (p, tier["Hi"], tier["Wi"], tier["R_sweep"], tier["tile_h"],
+         tier["R_brick"], tier["span_blks"], tier.get("rect_w", 256))
+        for (p, _), tiers in force.items() for tier in tiers}
+    unforced_falls = 0
+    for cam in cams:
+        u = make_uniforms(cam, vol.node_transform, vol.image_transform,
+                          eng.options.clip_distance,
+                          np.asarray(vol.effective_block_size_xyz,
+                                     np.float32))
+        view, plan = sp.select_view_plan_forced(u, H, W, vshape, force)
+        if plan is None:
+            # Handover-band pose outside every tier (the old tier loop
+            # likewise fell through to the unforced plan there): the
+            # engine falls back to the full search, which must still
+            # yield a Pallas-warp plan. Must stay rare — each such pose
+            # pays the full host search + one extra warm-up compile.
+            view_u, plan_u = sp.select_view_plan(u, H, W, vshape)
+            assert plan_u is not None and not plan_u.get("warp_xla"), cam
+            unforced_falls += 1
+            continue
+        assert not plan.get("warp_xla"), cam
+        key = (view["p_axis"], plan["Hi"], plan["Wi"], plan["R_sweep"],
+               plan["tile_h"], plan["R_brick"], plan["span_blks"],
+               plan.get("rect_w", 256))
+        assert key in static_keys, (key, sorted(static_keys))
+        # Warp rects likewise come from the tier set, or are disabled.
+        if plan["RECT_A"] is not None:
+            assert any(t.get("RECT_A") == plan["RECT_A"]
+                       and t.get("RECT_B") == plan["RECT_B"]
+                       for ts in force.values() for t in ts)
+        if plan["R_warp"] is not None:
+            assert any(t.get("R_warp") == plan["R_warp"]
+                       for ts in force.values() for t in ts)
+    assert unforced_falls <= 2, unforced_falls
