@@ -28,14 +28,21 @@ def render(renderer, dataset, skipmode, width, height, scale, vol_u8,
                                volume_u8=vol_u8, renderer=renderer,
                                benchmark_mode=False)
     eng.options.edge_repair = edge_repair
-    if edge_repair:
-        # The round-4 detector adds a color-range term (interior TF-color
-        # edges at flat alpha — the class the alpha/depth detector missed),
-        # which flags ~11 % of the beetle frame — the default 1/32 budget
-        # would overflow and leave the tail unrepaired; pay the larger
-        # oracle pass in the quality column and report its cost honestly.
-        eng.options.repair_budget = 1.0 / 8.0
     cam = benchmark_camera(aspect=width / height)
+    if edge_repair:
+        # The oracle march costs ∝ the STATIC budget K whether or not the
+        # lanes are live — probe the suspect count first (budget 0 renders
+        # the frame + detector only) and bucket the budget to the smallest
+        # power-of-two fraction that covers it (few K classes → few
+        # multi-minute remote marcher compiles, reused across configs).
+        eng.options.repair_budget = 0.0
+        eng.render(cam, width, height)
+        n_probe = int(np.asarray(eng.last_repair_px[0]))
+        n_px = width * height
+        for frac in (1 / 32, 1 / 16, 1 / 8, 1 / 4):
+            if n_probe <= max(2048, int(n_px * frac)):
+                break
+        eng.options.repair_budget = frac
     out = eng.render(cam, width, height)
     color = np.asarray(out.color)
     used = getattr(eng, "last_renderer", renderer)
@@ -138,6 +145,9 @@ def main():
                 wall_s=round(time.time() - t1, 1),
             )
         print(f"{cfg}: {results[cfg]}", flush=True)
+        if os.environ.get("PARITY_SAVE_NPZ"):
+            np.savez(f"/tmp/parity_{cfg.replace(':', '_')}.npz",
+                     got=got, ref=ref)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(results, fh, indent=1)

@@ -550,10 +550,16 @@ class Engine:
             mask.astype(f), -jnp.inf, jax.lax.max, (3, 3), (1, 1),
             "SAME") > 0.5
         n_px = height * width
+        n_found = mask.sum()
+        if self.options.repair_budget <= 0:
+            # Probe mode: count suspects only (callers bucket the march
+            # budget by the count — the oracle march costs ∝ the STATIC
+            # budget K whether or not the lanes are live).
+            self.last_repair_px = (n_found, 0)
+            return out
         K = int(min(n_px, -(-max(
             2048, int(n_px * self.options.repair_budget)) // 1024) * 1024))
         idx = jnp.nonzero(mask.ravel(), size=K, fill_value=0)[0]
-        n_found = mask.sum()
         live = jnp.arange(K) < n_found
         # Device value, NOT synced here (a host int() would stall the
         # frame pipeline ~34 ms on the relay); artifact scripts int() it.
@@ -577,12 +583,23 @@ class Engine:
             (camera.proj.astype(np.float64)
              @ camera.view.astype(np.float64)
              @ volume.model_matrix).astype(np.float32))
+        # The oracle march skips with whatever map exists: even skipmode
+        # NONE builds the occupancy map (reference parity,
+        # src/compute_distance_map.cpp:96-99), and BLOCK-mode skipping
+        # over it (step to the next block boundary while the cell is
+        # EMPTY) is exact — without it the static suspect budget
+        # brute-forces every ray (measured 12.3 s/frame at a 1/8 budget
+        # on present skipmode 0). Skipped cells are strictly unoccupied
+        # under the same TF thresholds, so repaired pixels stay
+        # oracle-exact.
+        st_rep = self.options.skipping_type
+        if st_rep == SkippingType.NONE and volume.dist_maps is not None:
+            st_rep = SkippingType.BLOCK
         rep = march(
             volume.density, volume.gradient,
-            volume.dist_maps
-            if self.options.skipping_type != SkippingType.NONE else None,
+            volume.dist_maps if st_rep != SkippingType.NONE else None,
             tf, sub, uniforms.block_size, pvm,
-            skipping_type=self.options.skipping_type,
+            skipping_type=st_rep,
             early_ray_termination=self.options.early_ray_termination,
             precomputed_gradient=volume.options.use_precomputed_gradient,
             test=self.options.test,
