@@ -61,10 +61,14 @@ grad_t = (sweep_mod.transpose_for_axis(vol.gradient, p)
           if vol.gradient is not None else None)
 occ_t = sweep_mod.transpose_for_axis(vol.dist_maps[0], p)
 t0 = time.time()
+# Engine-matched slab density (engine._slab_oversample): gradient TFs
+# pay the reference's dim_max·sf step density, intensity TFs the
+# plane-aligned Np·sf (docs/PERF.md round-4 quadrature section).
+over = (max(vol_t.shape) / vol_t.shape[0]) if tf.use_gradient else 1.0
 out = sp.render_frame(vol_t, occ_t, tf, rays, u, pvm,
                       grad_t if tf.use_gradient else None,
                       p_axis=p, ert=True, test=Test.NONE,
-                      interpret=True, dist_leap=True)
+                      oversample=over, interpret=True, dist_leap=True)
 got = np.asarray(out.color)
 print(f"pallas-interpret: {time.time()-t0:.1f}s "
       f"alpha_mean={got[...,3].mean():.4f}", flush=True)

@@ -162,7 +162,11 @@ def test_orbit_frozen_tiers_cover_every_pose():
     azs = [30 + 2 * i for i in range(51)]
     cams = [benchmark_camera(W / H, azimuth=a) for a in azs]
     force = freeze_orbit_statics(eng, vol, cams, W, H)
-    assert sum(len(t) for t in force.values()) <= 10
+    # Compile budget: one remote Mosaic compile per tier at orbit warm-up
+    # (outside the timed reps, amortised by the persistent compile cache).
+    # The round-4 over-sweep repair adds singleton tiers for poses that
+    # would otherwise escalate 1-2 bands up (≤8 per axis group).
+    assert sum(len(t) for t in force.values()) <= 16
 
     def vshape(p):
         return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]

@@ -236,6 +236,59 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                 i += 1
             else:
                 i += 1
+        # Over-sweep refinement: the area bands max Hi and Wi
+        # INDEPENDENTLY, so a band mixing tall-narrow and short-wide poses
+        # envelopes to tall-wide — device orbit reps tracked tier size at
+        # up to 2.9× a pose's own need (docs/orbit_r4.json reps 27-44 ms).
+        # Split out the over-paying poses into tighter bands (≤1.15× area
+        # spread) until every pose renders within ~1.45× of its unforced
+        # kernel cost, bounded by a tier budget (each tier is one remote
+        # Mosaic compile at warm-up, amortised by the persistent cache).
+        tiers.sort(key=lambda t: t["Hi"] * t["Wi"])
+        over = []
+        for e in entries:
+            pl_e, u_e, view_e = e
+            best = None
+            for t in tiers:
+                cand = sp.plan_from_stats(view_e, u_e, key[0],
+                                          vol_t_shape(key[0]),
+                                          height, width, force=t)
+                if cand is not None and not cand.get("warp_xla"):
+                    best = cand
+                    break
+            if best is not None and (sp._plan_cost(best)
+                                     > 1.45 * sp._plan_cost(pl_e)):
+                over.append(e)
+        over.sort(key=lambda e: e[0]["Hi"] * e[0]["Wi"])
+        for e in over:
+            if len(tiers) >= 8:
+                break
+            pl_e, u_e, view_e = e
+            # A pose can reject even a tier with ITS OWN dims: the forced
+            # Möbius re-fit clamps the curve ends differently from the
+            # unforced tile-preference search, so dwv_max can land just
+            # past the brick window — the pose then escalates 1-2 bands up
+            # and pays 1.8-2.9× its own kernel cost (the slow orbit reps).
+            # Give such a pose a singleton tier: its own envelope, bumped
+            # by one grid quantum per round until the forced re-check
+            # accepts it (each bump costs ~8 % cells; escalation cost ~2×).
+            env = envelope(key, [e])
+            if env is None:
+                continue
+            for _ in range(6):
+                cand = sp.plan_from_stats(view_e, u_e, key[0],
+                                          vol_t_shape(key[0]),
+                                          height, width, force=env)
+                if cand is not None and not cand.get("warp_xla"):
+                    break
+                env = dict(env, Hi=env["Hi"] + 64, Wi=env["Wi"] + 256)
+                cand = None
+            if cand is None or env in tiers:
+                continue
+            if sp._plan_cost(cand) > 1.45 * sp._plan_cost(pl_e):
+                continue
+            tiers.append(env)
+        tiers.sort(key=lambda t: t["Hi"] * t["Wi"])
         # Cross-band rect repair: a pose whose OWN band's tier rejects its
         # grid (quality/brick re-check) lands on a LARGER tier at orbit
         # time — where its warp spans, scaled by the bigger grid, can

@@ -1241,10 +1241,15 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
         if R_brick is not None:
             span = tile_h * dwv_max * Sv * t_max
             sb_need = -(-int(span + 10.0) // 8)
+            # 1e-3 slack: _fit_forced clamps the end footprint exactly AT
+            # the kernel cap, so this check's left side lands exactly on
+            # the designed limit — float association order must not reject
+            # the boundary (a pose rejecting its OWN unforced dims
+            # escalates 1-2 envelope bands up: 1.8-2.9× kernel cost).
             if (max(8 * span_blks, int(span + drift_bv + 11.0)) > R_brick
                     or sb_need > span_blks
                     or 128.0 * dwu_max * Su * t_max + drift_bu
-                    > rect_w_f - 132):
+                    > rect_w_f - 132 + 1e-3):
                 return None
         plan = dict(Hi=Hi, Wi=Wi, R_sweep=R_sweep, R_warp=None,
                     wu0=wu_lo, dwu=dwu, wv0=wv_lo, dwv=dwv,
