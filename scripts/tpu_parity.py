@@ -39,8 +39,12 @@ def render(renderer, dataset, skipmode, width, height, scale, vol_u8,
         eng.render(cam, width, height)
         n_probe = int(np.asarray(eng.last_repair_px[0]))
         n_px = width * height
-        for frac in (1 / 32, 1 / 16, 1 / 8, 1 / 4):
-            if n_probe <= max(2048, int(n_px * frac)):
+        # 1.25 headroom: the probe frame's suspect count ran ~10 % under
+        # the repair frame's on the beetle (docs/parity_r4.json beetle
+        # edge_repair: n_found 71,151 vs budget 65,536 — a starved budget
+        # leaves exactly the over-budget tail unrepaired).
+        for frac in (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1 / 2, 1.0):
+            if 1.25 * n_probe <= max(2048, int(n_px * frac)):
                 break
         eng.options.repair_budget = frac
     out = eng.render(cam, width, height)
