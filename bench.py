@@ -93,13 +93,17 @@ def seed_compile_cache():
     dst = os.path.join(REPO, ".cache", "jax")
     src = os.path.join(REPO, "precompiled", "jax_cache")
     if not os.path.isdir(src):
+        log("no precompiled/jax_cache in repo — cold-container compiles "
+            "will run at full cost")
         return
     os.makedirs(dst, exist_ok=True)
     n = 0
     for name in os.listdir(src):
-        d = os.path.join(dst, name)
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if not os.path.isfile(s):  # skip stray subdirectories
+            continue
         if not os.path.exists(d):
-            shutil.copy2(os.path.join(src, name), d)
+            shutil.copy2(s, d)
             n += 1
     if n:
         log(f"seeded compile cache with {n} precompiled entries")
@@ -298,7 +302,14 @@ def supervise():
             if "result" in st:
                 best = st["result"]
             if st["phase"] == "final":
-                proc.wait(timeout=120)
+                # The worker can wedge at teardown (the axon failure mode
+                # this supervisor exists to survive) — the result is
+                # already complete in `best`, so kill and emit regardless.
+                try:
+                    proc.wait(timeout=120)
+                except subprocess.TimeoutExpired:
+                    log("worker wedged at teardown — killing")
+                    kill_worker(proc)
                 log("final result ready")
                 emit(best)
         if proc.poll() is not None and (not st or st["phase"] != "final"):

@@ -116,7 +116,16 @@ def _build_maps_fused(density, gradient, tf, ti, tg, *, map_shape_zyx, st,
 @dataclasses.dataclass
 class UpdateStats:
     """Metrics contract of the reference log lines that benchmark.py scrapes
-    (src/volume_render.cpp:418, 430)."""
+    (src/volume_render.cpp:418, 430).
+
+    ``map_update_ms`` semantics depend on the engine mode: in benchmark
+    mode it is the synced per-build device time (comparable to the
+    reference's timed 5-build average); in interactive mode the builds
+    stay QUEUED (the reference records dispatches with no CPU readback
+    between a TF edit and the next draw, volume_render.cpp:392-445), so
+    it reports async dispatch cost only — the per-edit latency shows up
+    in the next frame's time, not here. Don't compare the interactive
+    value against the reference's synced update times."""
 
     occupied_voxel_percent: float | None = None
     count_ms: float | None = None
@@ -772,13 +781,12 @@ class Engine:
         # Any map with 0 ⇔ occupied works for slab skipping (distance maps
         # are 0 exactly at occupied cells, occupancy is OCCUPIED=0). For
         # distance maps the Pallas kernel additionally leaps by the map
-        # value (dist_leap). The 8 anisotropic octant maps reduce to a
-        # min over the octants LIVE in this frame (direction sign sets from
-        # the view analysis): safe per-ray (the min is ≤ the ray's own
-        # octant map, hence conservative), identical occupied set (a cell's
-        # value is 0 in every octant iff it is occupied), and strictly
-        # longer leaps than min-over-all-8 — direction-aware ESS at frame
-        # granularity (volume_render.frag:209's per-ray selection analogue).
+        # value (dist_leap). The 8 anisotropic octant maps are stitched
+        # per CELL by _octant_composite: for a pinhole camera every ray
+        # through a cell shares the octant sign pattern sign(cell_center -
+        # cam), so selecting that octant's value per cell reproduces the
+        # reference's per-ray map selection exactly (volume_render.frag:209)
+        # — not a conservative min.
         occ_t = None
         dist_leap = self.options.skipping_type in (
             SkippingType.DISTANCE, SkippingType.ANISOTROPIC_DISTANCE)
