@@ -425,3 +425,45 @@ def test_grad_tf_parity_density():
     assert bad_axis.sum() > 0.1 * cov.sum(), (
         "Np-density no longer diverges — the auto policy's gradient-TF "
         "branch may be obsolete; re-measure before simplifying")
+
+
+def test_grad_density_mult_sharp_shells():
+    """RenderOptions.grad_density_mult: on SHARP shell content (present-grad
+    under the v5 band-limited synthetics) exactly the reference's step
+    density still under-integrates the shells — a uniform small-amplitude
+    alpha deficit across all ray obliquities (round-4 device parity: 9.5 %
+    of covered pixels >8/255; scripts/density_sweep.py convergence curve:
+    6.9 % → 0.72 % from 1× → 2× ref density at quarter scale). Pins both
+    directions: the auto default (2×) closes the gap, and mult=1 still
+    reproduces it (cause, not coincidence)."""
+    from vkvolume_tpu.bench.datasets import DATASETS, synthesize
+    from vkvolume_tpu.bench.harness import benchmark_camera, make_engine
+
+    vol = synthesize(DATASETS["present-grad"], seed=0, scale=0.2)
+    cam = benchmark_camera(aspect=480 / 272)
+
+    def render(renderer, mult=None):
+        eng, _, _, _ = make_engine(
+            "present-grad", 2, 4, scale=0.2, volume_u8=vol,
+            renderer=renderer, test=RT.NONE, ert=True)
+        if mult is not None:
+            eng.options.grad_density_mult = mult
+        return np.asarray(eng.render(cam, 480, 272).color)
+
+    cm = render("marcher")
+    cov = cm[..., 3] > 1 / 255
+    assert cov.sum() > 5000
+
+    cp = render("pallas")                     # default: auto → 2× dim_max
+    bad = (np.abs(cp - cm).max(-1) > 8 / 255) & (cov | (cp[..., 3] > 1 / 255))
+    # ≤1.2 % of covered pixels: the 2× density plateau (the residual is
+    # the grazing-ray class that edge_repair re-marches).
+    assert bad.sum() <= 0.012 * cov.sum(), (
+        f"{bad.sum()}/{cov.sum()} covered pixels >8/255 at 2× ref density")
+
+    cp1 = render("pallas", mult=1.0)
+    bad1 = (np.abs(cp1 - cm).max(-1) > 8 / 255) \
+        & (cov | (cp1[..., 3] > 1 / 255))
+    assert bad1.sum() > 3 * max(bad.sum(), 1), (
+        "1× ref density no longer diverges on sharp shells — "
+        "grad_density_mult may be obsolete; re-measure before simplifying")

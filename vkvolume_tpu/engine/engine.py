@@ -232,10 +232,18 @@ class Engine:
         either way, so they keep the plane-aligned fast path)."""
         sf = float(volume.options.sampling_factor)
         mode = self.options.slab_density
+        mult = 1.0
         if mode == "auto":
-            mode = "ref" if tf.use_gradient else "axis"
+            if tf.use_gradient:
+                # Sharp-shell content needs ~2× the reference density for
+                # the fixed-phase slab quadrature to converge (see
+                # RenderOptions.grad_density_mult).
+                mode = "ref"
+                mult = float(self.options.grad_density_mult)
+            else:
+                mode = "axis"
         if mode == "ref":
-            return sf * max(vol_t_shape) / vol_t_shape[0]
+            return sf * max(vol_t_shape) / vol_t_shape[0] * mult
         return sf
 
     def update_transfer_function(self, volume: Volume, timed_runs: int = 5) -> UpdateStats:

@@ -63,11 +63,23 @@ class RenderOptions:
     # intensity-only TFs (measured ≤0.04 % pixels >8/255) but produces the
     # entire gradient-TF parity gap (28 % of covered pixels at 1× density,
     # 0 % at 2×; see tests/test_sweep.py::test_grad_tf_parity_density).
-    #   "auto" — dim_max-matched density for gradient TFs, plane-aligned
-    #            (Np) for intensity-only TFs (measured-safe fast path);
-    #   "ref"  — always dim_max-matched (reference quadrature density);
+    #   "auto" — dim_max-matched density × ``grad_density_mult`` for
+    #            gradient TFs, plane-aligned (Np) for intensity-only TFs
+    #            (measured-safe fast path);
+    #   "ref"  — always dim_max-matched (reference quadrature density,
+    #            multiplier NOT applied — the exact protocol A/B knob);
     #   "axis" — always Np (round-3 behavior).
     slab_density: str = "auto"
+    # Extra quadrature density for gradient TFs under "auto". Gradient TFs
+    # put their alpha in voxel-scale shells; at exactly the reference's
+    # step density the sweep's fixed-phase slab quadrature systematically
+    # under-integrates sharp shells (present-grad round-4: 9.5 % of covered
+    # pixels >8/255 on device, a uniform small-amplitude alpha deficit
+    # across ALL ray obliquities — scripts/density_sweep.py measured
+    # 6.9 % → 2.0 % → 0.72 % → 0.66 % at 1×/1.5×/2×/3× ref density,
+    # quarter scale). 2× lands on the convergence plateau; the residual
+    # ~0.7 % is the grazing-ray class that edge_repair re-marches.
+    grad_density_mult: float = 2.0
 
 
 @dataclasses.dataclass
