@@ -96,9 +96,19 @@ def main():
         # Incremental: the relay crashes mid-run; keep completed configs.
         with open(out_path) as fh:
             results = json.load(fh)
+    def save():
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    want_repair = os.environ.get("PARITY_REPAIR", "1") != "0"
     oracle_cache = {}
     for cfg in configs:
-        if cfg in results:
+        # A row is complete when its repair column exists (or repair is
+        # off): the default column is committed to disk BEFORE the repair
+        # render, so a relay crash mid-repair only re-runs the repair.
+        if cfg in results and (not want_repair
+                               or "edge_repair" in results[cfg]):
             print(f"{cfg}: already done", flush=True)
             continue
         parts = cfg.split(":")
@@ -106,14 +116,18 @@ def main():
         cfg_scale = float(parts[2]) if len(parts) > 2 else scale
         t0 = time.time()
         vol = synthesize(DATASETS[dataset], scale=cfg_scale)
-        got, used, base_ms = render("pallas", dataset, skipmode, width,
-                                    height, cfg_scale, vol)
         okey = (dataset, cfg_scale)
+        have_default = cfg in results
+        if not have_default:
+            got, used, base_ms = render("pallas", dataset, skipmode, width,
+                                        height, cfg_scale, vol)
         if okey not in oracle_cache:
             oracle_cache[okey] = render("marcher", dataset, 2, width,
                                         height, cfg_scale, vol)[0]
         ref = oracle_cache[okey]
-        diff = np.abs(got - ref)
+        if have_default:
+            print(f"{cfg}: default column already done", flush=True)
+        diff = None if have_default else np.abs(got - ref)
         a_ref = ref[..., 3]
 
         def _stats(d):
@@ -124,20 +138,25 @@ def main():
                     100.0 * float((d.max(-1) > 8.0 / 255.0).mean()), 5),
             )
 
-        results[cfg] = dict(
-            renderer_used=used,
-            image=f"{width}x{height}",
-            scale=cfg_scale,
-            **_stats(diff),
-            alpha_mean_ref=round(float(a_ref.mean()), 5),
-            alpha_mean_got=round(float(got[..., 3].mean()), 5),
-            covered_px=int((a_ref > 0).sum()),
-            frame_ms=None if base_ms is None else round(base_ms, 2),
-            wall_s=round(time.time() - t0, 1),
-        )
+        if not have_default:
+            results[cfg] = dict(
+                renderer_used=used,
+                image=f"{width}x{height}",
+                scale=cfg_scale,
+                **_stats(diff),
+                alpha_mean_ref=round(float(a_ref.mean()), 5),
+                alpha_mean_got=round(float(got[..., 3].mean()), 5),
+                covered_px=int((a_ref > 0).sum()),
+                frame_ms=None if base_ms is None else round(base_ms, 2),
+                wall_s=round(time.time() - t0, 1),
+            )
+            save()   # commit the default column before the repair render
+            if os.environ.get("PARITY_SAVE_NPZ"):
+                np.savez(f"/tmp/parity_{cfg.replace(':', '_')}.npz",
+                         got=got, ref=ref)
         # Quality mode: the same frame with edge_repair (suspect pixels
         # re-marched by the oracle) — the u8-tolerance parity column.
-        if os.environ.get("PARITY_REPAIR", "1") != "0":
+        if want_repair:
             t1 = time.time()
             got_r, _, (n_rep, budget), rep_ms = render(
                 "pallas", dataset, skipmode, width, height, cfg_scale,
@@ -149,12 +168,7 @@ def main():
                 wall_s=round(time.time() - t1, 1),
             )
         print(f"{cfg}: {results[cfg]}", flush=True)
-        if os.environ.get("PARITY_SAVE_NPZ"):
-            np.savez(f"/tmp/parity_{cfg.replace(':', '_')}.npz",
-                     got=got, ref=ref)
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        with open(out_path, "w") as fh:
-            json.dump(results, fh, indent=1)
+        save()
 
     print(f"wrote {out_path}")
 

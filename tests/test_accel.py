@@ -158,8 +158,11 @@ def test_isotropic_edge_cases():
 
 
 def test_anisotropic_matches_brute_force(rng):
+    # cap=255 = reference-exact octant values (the default ANISO_CAP only
+    # shortens >cap leaps; its exact-min semantics are pinned in
+    # tests/test_distance_pallas.py::test_anisotropic_cap_semantics).
     occ = _random_occ(rng, (6, 7, 8), 0.12)
-    got = np.asarray(anisotropic_distance(jnp.asarray(occ)))
+    got = np.asarray(anisotropic_distance(jnp.asarray(occ), cap=255))
     assert got.shape == (8, 6, 7, 8)
     for idx in range(8):
         sx = -1 if (idx & 4) else +1

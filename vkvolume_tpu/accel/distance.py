@@ -39,6 +39,20 @@ import jax.numpy as jnp
 
 _I = jnp.int16
 
+# Value cap for the ANISOTROPIC octant maps. One-sided octant distances hit
+# 255 at every axis-facing boundary (no occupied cell beyond), so a
+# relaxation loop bounded by the brick/array max never early-exits — the
+# reference's per-CELL running-min exit (distance_map_anisotropic.comp:66-80)
+# makes its work ∝ mean distance, while a max-bounded vectorised loop pays
+# the full axis length on every launch (snake b=4 aniso update measured
+# 3.3× iso vs the reference's 1.7×). Capping the stage outputs bounds every
+# relaxation at the cap. Safe: a capped value is ≤ the true octant distance
+# (min/max stages are monotone), so ESS leaps stay conservative and images
+# are bit-identical; only leap LENGTH through >cap-deep empty space shrinks
+# (63 map cells = 252 voxels at the default block size — beyond any
+# practical skip window). 255 restores reference-exact map values.
+ANISO_CAP = 63
+
 
 def _iota_along(shape, axis, dtype=_I):
     return jax.lax.broadcasted_iota(dtype, shape, axis)
@@ -169,8 +183,8 @@ def isotropic_distance(occ_u8: jax.Array) -> jax.Array:
     return g.astype(jnp.uint8)
 
 
-@jax.jit
-def anisotropic_distance(occ_u8: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cap",))
+def anisotropic_distance(occ_u8: jax.Array, cap: int = ANISO_CAP) -> jax.Array:
     """All 8 octant distance maps, stacked as (8, mz, my, mx) uint8.
 
     Octant index matches the fragment shader's map selection
@@ -181,16 +195,22 @@ def anisotropic_distance(occ_u8: jax.Array) -> jax.Array:
     one-sided scans in the ray's axis directions, sharing the x and (x, y)
     intermediates exactly like the reference's 14-dispatch schedule
     (src/compute_distance_map.cpp:229-252 and the octant table comment).
+
+    Values are clipped at ``cap`` after the x-scan, which bounds every
+    later relaxation loop at ``cap`` iterations (see ANISO_CAP); pass
+    cap=255 for reference-exact values.
     """
     x_scans = {}
     xy = {}
     maps = []
+    c = _I(cap)
     for idx in range(8):
         sx = -1 if (idx & 4) else +1
         sy = -1 if (idx & 2) else +1
         sz = -1 if (idx & 1) else +1
         if sx not in x_scans:
-            x_scans[sx] = axis_scan(occ_u8, axis=2, direction=sx)
+            x_scans[sx] = jnp.minimum(
+                axis_scan(occ_u8, axis=2, direction=sx), c)
         if (sx, sy) not in xy:
             xy[(sx, sy)] = relax(x_scans[sx], axis=1, direction=sy)
         maps.append(relax(xy[(sx, sy)], axis=0, direction=sz).astype(jnp.uint8))

@@ -133,24 +133,27 @@ def _relax_vmem(D, Lp, axis, directions):
     return list(state[3:])
 
 
-def _scan_relax_kernel(occ_ref, *out_refs, Yp, Xp, scan_dir, relax_dirs):
+def _scan_relax_kernel(occ_ref, *out_refs, Yp, Xp, scan_dir, relax_dirs,
+                       cap=255):
     occ = occ_ref[...].astype(jnp.int32)
     g = _x_scan_vmem(occ, Xp, scan_dir)
-    g = jnp.minimum(g, jnp.int32(255))
+    g = jnp.minimum(g, jnp.int32(cap))
     As = _relax_vmem(g, Yp, occ.ndim - 2, relax_dirs)
     for ref, A in zip(out_refs, As):
         ref[...] = A.astype(jnp.uint8)
 
 
 def _scan_relax_multi_kernel(occ_ref, *out_refs, Yp, Xp, scan_dirs,
-                             relax_dirs):
+                             relax_dirs, cap=255):
     """All (scan_dir × relax_dir) variants in one pass over the occupancy
     brick (one HBM read instead of one per scan direction); outputs ordered
-    scan-major."""
+    scan-major. ``cap`` clips the scan stage, which bounds the relaxation
+    loops (one-sided maps hit 255 at axis boundaries, so an uncapped
+    max-bound never early-exits — distance.ANISO_CAP)."""
     occ = occ_ref[...].astype(jnp.int32)
     i = 0
     for sd in scan_dirs:
-        g = jnp.minimum(_x_scan_vmem(occ, Xp, sd), jnp.int32(255))
+        g = jnp.minimum(_x_scan_vmem(occ, Xp, sd), jnp.int32(cap))
         for A in _relax_vmem(g, Yp, occ.ndim - 2, relax_dirs):
             out_refs[i][...] = A.astype(jnp.uint8)
             i += 1
@@ -217,7 +220,8 @@ def scan_and_relax(occ_u8: jax.Array, scan_dir: int, relax_dirs: tuple,
 
 
 def scan_and_relax_multi(occ_u8: jax.Array, scan_dirs: tuple,
-                         relax_dirs: tuple, interpret: bool = False):
+                         relax_dirs: tuple, interpret: bool = False,
+                         cap: int = 255):
     """One launch producing all (scan_dir × relax_dir) y-stage variants
     (scan-major order) — one occupancy read for the whole anisotropic
     schedule's first stage."""
@@ -232,7 +236,7 @@ def scan_and_relax_multi(occ_u8: jax.Array, scan_dirs: tuple,
     occ_p = _pad_to(occ_u8, (Zp, Yp, Xp))
     kern = functools.partial(_scan_relax_multi_kernel, Yp=Yp, Xp=Xp,
                              scan_dirs=tuple(scan_dirs),
-                             relax_dirs=tuple(relax_dirs))
+                             relax_dirs=tuple(relax_dirs), cap=cap)
     outs = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.uint8)] * n_out,
@@ -317,15 +321,24 @@ def isotropic_distance_pallas(occ_u8: jax.Array,
     return relax_z_direct(g, relax_dirs=(0,), interpret=interpret)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
 def anisotropic_distance_pallas(occ_u8: jax.Array,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                cap: int = None) -> jax.Array:
     """All 8 octant maps, (8, Z, Y, X) uint8 — exact twin of
     ``distance.anisotropic_distance`` with the 14-pass shared schedule
-    collapsed to 2 scan+y-relax launches and 4 dual-output z launches."""
+    collapsed to 2 scan+y-relax launches and 4 dual-output z launches.
+    ``cap`` (default distance.ANISO_CAP) bounds every relaxation loop —
+    without it the one-sided maps' boundary 255s defeat the max-bounded
+    early exit and every launch pays the full axis length."""
+    from .distance import ANISO_CAP
+
+    if cap is None:
+        cap = ANISO_CAP
     maps = [None] * 8
     xys = scan_and_relax_multi(occ_u8, scan_dirs=(+1, -1),
-                               relax_dirs=(+1, -1), interpret=interpret)
+                               relax_dirs=(+1, -1), interpret=interpret,
+                               cap=cap)
     zs = relax_z_direct_multi(xys, relax_dirs=(+1, -1), interpret=interpret)
     i = 0
     for sx in (+1, -1):

@@ -114,6 +114,15 @@ def setup_engine(args):
     from .engine import Engine, RenderOptions, from_array, from_file
     from .options import SkippingType, Test, VolumeOptions
 
+    # Persistent compile cache: the reference recompiles shader variants in
+    # ms (src/volume_render.cpp:541-544); our Mosaic specialisations cost
+    # seconds-to-minutes cold, so every user entry point starts the cache
+    # before the first jit — a warm second session renders structural
+    # option edits (sampling, spin, skipmode) from cached executables.
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()
+
     if getattr(args, "debug_nans", False):
         import jax
 

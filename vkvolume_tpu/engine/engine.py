@@ -324,14 +324,15 @@ class Engine:
             # before device completion, which would fake the timing.
             float(maps.ravel()[0])
 
-        # Benchmark mode queues 2× the protocol's 5 builds: the reference
+        # Benchmark mode queues 4× the protocol's 5 builds: the reference
         # times updates with device timestamps (no host round trip), while
         # this transport must force one ~34 ms readback per timing window —
-        # doubling the queued builds halves that artifact's per-build share
-        # (~7 → ~3.4 ms; it dominates the SMALL-map update floor, e.g.
-        # present b=4 whose whole device-side build is ~9 ms). The device
-        # work per build is unchanged; the mean is just a better estimator.
-        runs = timed_runs * 2 if self.benchmark_mode else 1
+        # at 20 queued builds that artifact's per-build share drops to
+        # ~1.7 ms (CLAUDE.md's amortisation rule; it dominates the
+        # SMALL-map update floor, e.g. present b=4 whose whole device-side
+        # build is ~9 ms). The device work per build is unchanged; the
+        # mean is just a better estimator of the same quantity.
+        runs = timed_runs * 4 if self.benchmark_mode else 1
         if self.benchmark_mode:
             # Warm the jit cache before timing (the reference's 5-run
             # average also amortises pipeline warmup,
