@@ -18,17 +18,27 @@ for ds in $ORDER; do
 done
 CFGS=${CFGS#,}
 
+# Pass 1: all 24 default columns (PARITY_REPAIR=0) — the raw-parity
+# evidence lands first. Pass 2: repair columns (resumable per config; the
+# default columns are already on disk so crashes re-run only the repair).
 want=24
 attempt=0
-while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  have=$(grep -c wall_s "$PARITY_OUT" 2>/dev/null || echo 0)
-  [ "$have" -ge "$want" ] && { log "parity matrix complete ($have rows)"; exit 0; }
-  attempt=$((attempt+1))
-  log "attempt $attempt: $have/$want rows done"
-  timeout 5400 env PARITY_CONFIGS="$CFGS" \
-    python scripts/tpu_parity.py >> $LOG 2>&1
-  rc=$?
-  log "tpu_parity exited rc=$rc"
-  [ $rc -ne 0 ] && sleep 60   # relay cooldown before retry
+for repair in 0 1; do
+  while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    have=$(grep -c wall_s "$PARITY_OUT" 2>/dev/null || echo 0)
+    nrep=$(grep -c repaired_px "$PARITY_OUT" 2>/dev/null || echo 0)
+    if [ "$repair" = 0 ]; then
+      [ "$have" -ge "$want" ] && { log "pass 1 complete ($have rows)"; break; }
+    else
+      [ "$nrep" -ge "$want" ] && { log "pass 2 complete ($nrep repairs)"; break; }
+    fi
+    attempt=$((attempt+1))
+    log "attempt $attempt (repair=$repair): $have/$want rows, $nrep repairs"
+    timeout 5400 env PARITY_CONFIGS="$CFGS" PARITY_REPAIR=$repair \
+      python scripts/tpu_parity.py >> $LOG 2>&1
+    rc=$?
+    log "tpu_parity exited rc=$rc"
+    [ $rc -ne 0 ] && sleep 60   # relay cooldown before retry
+  done
 done
-log "deadline reached"
+log "chain done or deadline"
