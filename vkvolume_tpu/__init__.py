@@ -11,3 +11,17 @@ masked lock-step XLA / Pallas kernels over ray tiles.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU dot_general at DEFAULT precision truncates f32 inputs to bfloat16
+# (~4e-3 relative error). Every camera projection in the frame path is a
+# tiny (N,4)@(4,4) matmul, so bf16 buys nothing — but it bends ray
+# directions by ~1e-3, which shifted warp positions by ±0.5 grid rows and
+# broke pixel parity on sharp (gradient-TF) content: the two-pass warp's
+# pass-1 positions come from the f64 HOST homography while gx/gy come from
+# device rays, and the two sources must agree to sub-cell precision
+# (measured round 5: present-grad 8.8 % of pixels >8/255 from exactly this
+# mismatch). Force true-f32 matmuls package-wide; the hot compute path is
+# hand-written Pallas (unaffected), so this costs nothing measurable.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -23,7 +23,12 @@ TILE_W = 128
 RECT_W = 640
 
 
-def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
+def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C,
+            MAXU, MAXV):
+    """``MAXU``/``MAXV``: static max rect bases (128-/8-aligned by
+    construction — the caller pads the source; an unaligned traced clip
+    bound here was a misaligned-DMA silent-corruption bug, see
+    _resample_kernel)."""
     f = jnp.float32
     Hi = meta_ref[0]
     Wi = meta_ref[1]
@@ -39,8 +44,8 @@ def _kernel(meta_ref, gx_ref, gy_ref, src_ref, out_ref, scratch, sem, *, R, C):
 
     u0 = jnp.floor(gx_min).astype(jnp.int32)
     v0 = jnp.floor(gy_min).astype(jnp.int32)
-    u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Wi - RECT_W, 0))
-    v0a = jnp.clip((v0 // 8) * 8, 0, jnp.maximum(Hi - R, 0))
+    u0a = jnp.clip((u0 // 128) * 128, 0, MAXU)
+    v0a = jnp.clip((v0 // 8) * 8, 0, MAXV)
     u0a = pl.multiple_of(u0a, 128)
     v0a = pl.multiple_of(v0a, 8)
 
@@ -120,8 +125,17 @@ def warp_to_pixels(src_chw: jax.Array, gx: jax.Array, gy: jax.Array,
     continuous source coords (gx, gy); gx < -5 marks uncovered pixels → 0."""
     C, Hi, Wi = src_chw.shape
     H, W = gx.shape
+    # Pad so the static max rect bases stay aligned (see _kernel docstring);
+    # pad texels are only ever read with zero tent weight.
+    Hi_pad = -(-Hi // 8) * 8
+    Wi_pad = -(-Wi // 128) * 128
+    if (Hi_pad, Wi_pad) != (Hi, Wi):
+        src_chw = jnp.pad(
+            src_chw, ((0, 0), (0, Hi_pad - Hi), (0, Wi_pad - Wi)))
     meta = jnp.asarray([Hi, Wi], jnp.int32)
-    kern = functools.partial(_kernel, R=R, C=C)
+    kern = functools.partial(_kernel, R=R, C=C,
+                             MAXU=max(Wi_pad - RECT_W, 0),
+                             MAXV=max(Hi_pad - R, 0))
     tile_map = lambda ty, tx, *_: (ty, tx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -211,7 +225,7 @@ def _resample_epilogue(out_ref, rows_for, pos, inside, base, Ws, *,
 
 
 def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
-                     *, RECT, C, encode_out):
+                     *, RECT, C, encode_out, MAXB):
     """out[c, y, x] = lerp(src[c, y, pos[y, x]]) for one 8×128 tile; the
     source rows are the tile's own rows (row-aligned 1-D resample).
     pos < -5 marks masked pixels → 0.
@@ -220,7 +234,15 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
     values — linear resampling commutes with the affine u16 encoding, and
     the half-width rects halve the warp's DMA traffic (the two-pass warp is
     DMA-bound; values are destined for an 8-bit image, so the ≤1/65535
-    quantisation is far below output tolerance)."""
+    quantisation is far below output tolerance).
+
+    ``MAXB``: static max rect base = Ws_pad - RECT, 128-aligned by
+    construction (the caller pads source lanes to a 128 multiple). The old
+    traced clip bound ``Ws - RECT`` was NOT lane-aligned when Ws %% 128 != 0
+    (e.g. a 2368-row grid transposed into lanes), so tiles near the source's
+    far edge started a MISALIGNED dynamic DMA under a false
+    ``pl.multiple_of`` claim — silent corruption on device (round-5 bisect:
+    RECT=1024 bad tiles confined to the far-edge column block)."""
     f = jnp.float32
     Ws = meta_ref[0]
     ty = pl.program_id(0)
@@ -233,7 +255,7 @@ def _resample_kernel(meta_ref, pos_ref, src_ref, out_ref, scratch, sem,
     big = f(1e30)
     p_min = jnp.min(jnp.where(inside, posc, big))
     u0 = jnp.floor(p_min).astype(jnp.int32)
-    u0a = jnp.clip((u0 // 128) * 128, 0, jnp.maximum(Ws - RECT, 0))
+    u0a = jnp.clip((u0 // 128) * 128, 0, MAXB)
     u0a = pl.multiple_of(u0a, 128)
 
     @pl.when(any_in)
@@ -335,6 +357,16 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
         pipeline = os.environ.get("VKV_WARP_PIPE", "0") == "1"
     out_dtype = jnp.uint16 if encode_out else jnp.float32
     nty, ntx = Ho // TILE_H, Wo // TILE_W
+    # Pad source lanes to a 128 multiple so the max rect base Ws_pad - RECT
+    # is 128-aligned — an unaligned traced clip bound produced misaligned
+    # dynamic DMAs (silent device corruption; see _resample_kernel). The
+    # pad column is only ever read with zero tent weight (posc clamps to
+    # the REAL Ws - 1, where the fractional tap weight is 0).
+    Ws_pad = -(-Ws // 128) * 128
+    if Ws_pad != Ws:
+        src_chw = jnp.pad(src_chw, ((0, 0), (0, 0), (0, Ws_pad - Ws)))
+    assert RECT <= Ws_pad, (RECT, Ws_pad)
+    max_base = max(Ws_pad - RECT, 0)
 
     if pipeline:
         # Per-tile aligned rect bases (the kernel's own min/floor/align
@@ -345,7 +377,7 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
             axis=(1, 3))
         u0 = jnp.floor(
             jnp.where(jnp.isfinite(pmin), pmin, 0.0)).astype(jnp.int32)
-        bases = jnp.clip((u0 // 128) * 128, 0, max(Ws - RECT, 0))
+        bases = jnp.clip((u0 // 128) * 128, 0, max_base)
         # Fully-masked tiles (no finite pos) carry base = -1: the kernel
         # skips their rect DMA entirely (the output is masked to 0 anyway).
         bases = jnp.where(jnp.isfinite(pmin), bases, -1)
@@ -377,7 +409,7 @@ def resample_rows(src_chw: jax.Array, pos: jax.Array, *, RECT: int = 512,
 
     meta = jnp.asarray([Ws], jnp.int32)
     kern = functools.partial(_resample_kernel, RECT=RECT, C=C,
-                             encode_out=encode_out)
+                             encode_out=encode_out, MAXB=max_base)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nty, ntx),
