@@ -337,6 +337,27 @@ def test_edge_repair_closes_resample_gap():
     assert (d_rep > 2 / 255).sum() < (d_plain > 2 / 255).sum()
 
 
+
+def test_edge_repair_banded_equals_single_program(monkeypatch):
+    """The repair march is banded into short device programs (a long
+    single program trips the relay watchdog and kills the TPU worker —
+    round-5 parity died twice at present-grad's repair frame). Banding
+    must be output-invariant: every lane is independent."""
+    from vkvolume_tpu.engine import engine as eng_mod
+
+    H, W = 64, 64
+    single_eng, _, _ = _engine("sweep", n=48)
+    single_eng.options.edge_repair = True
+    single = np.asarray(single_eng.render(CAM, W, H).color)
+    banded_eng, _, _ = _engine("sweep", n=48)
+    banded_eng.options.edge_repair = True
+    monkeypatch.setitem(eng_mod._REPAIR_CHUNK, False, 1024)
+    monkeypatch.setitem(eng_mod._REPAIR_CHUNK, True, 1024)
+    banded = np.asarray(banded_eng.render(CAM, W, H).color)
+    assert int(banded_eng.last_repair_px[1]) > 1024  # actually banded
+    np.testing.assert_allclose(banded, single, atol=1e-6)
+
+
 def test_spin_volume_rotates_render():
     """Volume.set_spin (the reference's spin_volumes animation,
     src/volume_render.cpp:89): a 90-degree node rotation changes the frame

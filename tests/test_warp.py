@@ -223,20 +223,23 @@ def test_pick_rect_full_source_rescue():
     """_pick_rect: spans past cap - 132 are infeasible unforced, but the
     frozen-orbit path may use the full (lane-aligned) source width, which
     covers any span."""
-    # Ordinary sizing unchanged.
-    assert plan_mod._pick_rect(500.0, 5376) == 1024
+    # Ordinary sizing: 128-quantised (tight rects halve the DMA-bound
+    # warp's traffic), 132-lane alignment+tent margin, 256 floor.
+    assert plan_mod._pick_rect(500.0, 5376) == 640
+    assert plan_mod._pick_rect(100.0, 5376) == 256
     # Unforced: over-cap span → infeasible.
     assert plan_mod._pick_rect(5000.0, 5376) is None
     assert plan_mod._pick_rect(3900.0, 5376) == 4096
+    assert plan_mod._pick_rect(3950.0, 5376) == 4096
     # Forced (frozen orbit): full-source rect accepts any span when the
     # width is lane-aligned; quantised sizing still applies below it.
-    assert plan_mod._pick_rect(5000.0, 5376, allow_full_src=True) == 5376
+    assert plan_mod._pick_rect(5000.0, 5376, allow_full_src=True) == 5248
     assert plan_mod._pick_rect(5300.0, 5376, allow_full_src=True) == 5376
     # Non-lane-aligned width: no full-source rect, over-cap span stays
     # infeasible.
     assert plan_mod._pick_rect(5300.0, 5390, allow_full_src=True) is None
     assert plan_mod._pick_rect(1747.0, 1152, allow_full_src=True) == 1152
-    assert plan_mod._pick_rect(4000.0, 5376, allow_full_src=True) == 4608
+    assert plan_mod._pick_rect(4000.0, 5376, allow_full_src=True) == 4224
 
 
 def test_pipelined_resample_matches_inline():

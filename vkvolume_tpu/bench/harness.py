@@ -52,9 +52,24 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
     construction: larger grids only shrink per-tile footprints, larger
     rects only widen coverage. One kernel specialisation per
     (principal axis, direction sign) group then covers the whole orbit."""
+    from ..render.ray_setup import make_uniforms
+
+    uniforms_list = [
+        make_uniforms(
+            cam, volume.node_transform, volume.image_transform,
+            eng.options.clip_distance,
+            np.asarray(volume.effective_block_size_xyz, np.float32))
+        for cam in cams
+    ]
+    return freeze_statics(eng, volume, uniforms_list, width, height)
+
+
+def freeze_statics(eng, volume, uniforms_list, width: int, height: int):
+    """Core of freeze_orbit_statics over prebuilt FrameUniforms — also used
+    by Engine.prewarm_interactive, whose pose set perturbs the VOLUME
+    transform (GUI translate/spin edits) rather than the camera."""
     from ..render import plan as plan_mod
     from ..render import sweep_pallas as sp
-    from ..render.ray_setup import make_uniforms
     from ..render.warp_pallas import RECT_W as _WP_RECT_W
 
     def vol_t_shape(p):
@@ -62,11 +77,7 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
         return {2: (d, h, w), 1: (h, d, w), 0: (w, d, h)}[p]
 
     groups: dict = {}
-    for cam in cams:
-        u = make_uniforms(
-            cam, volume.node_transform, volume.image_transform,
-            eng.options.clip_distance,
-            np.asarray(volume.effective_block_size_xyz, np.float32))
+    for u in uniforms_list:
         # SAME axis selection as the engine (cost-based over all
         # single-signed candidates) — a group-key mismatch would leave the
         # pose without a tier and cost a mid-orbit Mosaic compile.
@@ -329,8 +340,32 @@ def freeze_orbit_statics(eng, volume, cams, width: int, height: int):
                         continue
                     break
         if tiers:
+            # One quantum of rect headroom: tier rects are maxed over the
+            # MEASURED poses, but a fresh pose between lattice points can
+            # need one 128-step more (measured round 5: a translate pose
+            # inside the envelope failed the forced re-check and paid a
+            # 10-minute fallback compile). Clamped to the frozen source
+            # widths (the DMA must stay in bounds).
+            for t in tiers:
+                wv_t = t.get("warp_variant")
+                if wv_t is not None and t.get("RECT_A") is not None:
+                    cap_a = ((t["Hi"] if wv_t == "B" else t["Wi"])
+                             // 128) * 128
+                    cap_b = ((t["Wi"] if wv_t == "B" else t["Hi"])
+                             // 128) * 128
+                    t["RECT_A"] = min(t["RECT_A"] + 128, cap_a)
+                    t["RECT_B"] = min(t["RECT_B"] + 128, cap_b)
             force[key] = tiers
-    eng.plan_force = force
+    # MERGE into any existing forces (multi-volume prewarm freezes one
+    # volume at a time; same-key tier lists concatenate — the engine tries
+    # tiers smallest-first and re-checks per-pose feasibility anyway).
+    for key, tiers in force.items():
+        prev = eng.plan_force.get(key)
+        if prev:
+            prev = prev if isinstance(prev, list) else [prev]
+            tiers = sorted(prev + [t for t in tiers if t not in prev],
+                           key=lambda t: t["Hi"] * t["Wi"])
+        eng.plan_force[key] = tiers
     return force
 
 

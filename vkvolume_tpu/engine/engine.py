@@ -133,6 +133,28 @@ class UpdateStats:
     gradient_ms: float | None = None
 
 
+# Max suspect lanes per repair-march device program (True = gradient TF,
+# which marches ~4× slower): long single programs trip the relay's device
+# watchdog and kill the TPU worker. Module-level so tests can shrink it.
+_REPAIR_CHUNK = {True: 8192, False: 32768}
+
+
+def _ladder_up(n: int, anchor: int, step: float = 1.25) -> int:
+    """Smallest value ≥ n on the geometric ladder anchor·step^k (k ∈ ℤ).
+
+    n_slabs is a jit static: the GUI's continuous sampling slider would
+    otherwise compile a fresh Mosaic specialisation per drag position
+    (~10 s each on the tunneled compile service). Rounding UP means the
+    rendered quadrature is at least as dense as requested (quality ≥
+    asked), and a slider sweep touches ≤ ~8 tiers instead of dozens."""
+    import math as _m
+
+    if n <= 2:
+        return 2
+    k = _m.ceil(round(_m.log(n / anchor) / _m.log(step), 9))
+    return int(max(2, round(anchor * step ** k)))
+
+
 class Engine:
     def __init__(self, options: RenderOptions | None = None,
                  benchmark_mode: bool = False, renderer: str = "marcher",
@@ -168,6 +190,10 @@ class Engine:
         # cache and never re-enters this path).
         self._failed_specs: dict = {}
         self._SPEC_RETRIES = 3
+        # Interactive slab ladder (prewarm_interactive): quantise n_slabs
+        # UP a geometric ladder so the GUI's continuous sampling slider
+        # maps to a bounded set of jit specialisations.
+        self._slab_ladder = False
 
     # ---- setup ----------------------------------------------------------
 
@@ -245,6 +271,108 @@ class Engine:
         if mode == "ref":
             return sf * max(vol_t_shape) / vol_t_shape[0] * mult
         return sf
+
+    def prewarm_interactive(self, camera, width: int, height: int, *,
+                            spin_deg: float = 20.0, translate: float = 10.0,
+                            sampling_tiers=(1.0, 1.5)) -> float:
+        """Pre-compile the bounded set of structural-GUI-edit
+        specialisations so slider drags stay interactive (the reference
+        recompiles its shader variants in ms, src/volume_render.cpp:541-544;
+        our Mosaic specialisations cost ~10 s each on the tunneled compile
+        service, so they must be paid at setup, not mid-edit).
+
+        Three legs:
+        1. freeze the frame plan's jit statics to envelope tiers over a
+           pose-perturbation set (volume spin ± ``spin_deg``, translation
+           ± ``translate`` model units — the GUI's translate/spin edits
+           re-use ONE kernel specialisation per (axis, sign) band instead
+           of compiling a fresh one per pose);
+        2. enable the interactive n_slabs ladder (the continuous sampling
+           slider maps onto a bounded tier set, see _ladder_up);
+        3. render one frame per ``sampling_tiers`` entry to compile those
+           ladder tiers up front (served from the persistent compile cache
+           on later sessions — utils.enable_compile_cache).
+
+        Returns the prewarm wall time in seconds. Host-only analysis plus
+        one render per tier; call after add_volume."""
+        from ..bench.harness import freeze_statics
+        from ..render.ray_setup import make_uniforms
+
+        t0 = time.perf_counter()
+        for volume in self.volumes:
+            # set_spin/set_translation compose over internal state — save
+            # and restore the raw transform verbatim.
+            nt0 = np.asarray(volume.node_transform).copy()
+            base0 = getattr(volume, "_spin_base", None)
+            trans0 = volume.get_translation()
+            uniforms_list = []
+            try:
+                for sp_deg in (-spin_deg, -spin_deg / 2, 0.0,
+                               spin_deg / 2, spin_deg):
+                    for tx in (-translate, 0.0, translate):
+                        volume.set_spin(np.deg2rad(sp_deg))
+                        volume.set_translation(
+                            trans0 + np.asarray([tx, 0.0, 0.0]))
+                        uniforms_list.append(make_uniforms(
+                            camera, volume.node_transform,
+                            volume.image_transform,
+                            self.options.clip_distance,
+                            np.asarray(volume.effective_block_size_xyz,
+                                       np.float32)))
+            finally:
+                volume.node_transform = nt0
+                volume._spin_base = base0
+            freeze_statics(self, volume, uniforms_list, width, height)
+        self._slab_ladder = True
+        for volume in self.volumes:
+            sf0 = volume.options.sampling_factor
+            nt0 = np.asarray(volume.node_transform).copy()
+            base0 = getattr(volume, "_spin_base", None)
+            trans0 = volume.get_translation()
+            try:
+                # One render per DISTINCT ladder tier across the slider
+                # range: the ladder bounds the tier count, but any tier a
+                # slider value can reach must be compiled NOW, not at the
+                # first drag that lands on it (verify round 5: sf=1.3
+                # between prewarmed endpoints 1.0/1.5 still paid a 7 s
+                # mid-edit compile).
+                lo, hi = min(sampling_tiers), max(sampling_tiers)
+                dsh = volume.density.shape
+                # Tier prediction anchors on the p=2 transposition; other
+                # axes shift the ladder slightly (worst case one extra or
+                # one first-drag compile — the persistent cache amortises).
+                anchor = dsh[0]
+                seen = set()
+                for sf in np.geomspace(lo, hi, 12):
+                    volume.options.sampling_factor = float(sf)
+                    tfq = self._tf(volume)
+                    n = int(max(2, round(
+                        anchor * self._slab_oversample(volume, dsh, tfq))))
+                    tier = _ladder_up(n, anchor)
+                    if tier in seen:
+                        continue
+                    seen.add(tier)
+                    self.render(camera, width, height)
+                # Envelope lattice poses: the frozen tiers are BANDED by
+                # grid area, and only tiers a prewarm render actually hits
+                # get compiled (verify round 5: a translate edit resolved a
+                # tier the base pose never touched and paid a 12 s compile).
+                # Render the FULL freeze lattice — a pose between lattice
+                # points then resolves one of the already-compiled tiers
+                # (plus the tier-rect headroom added by freeze_statics).
+                volume.options.sampling_factor = sf0
+                for sp_deg in (-spin_deg, -spin_deg / 2, 0.0,
+                               spin_deg / 2, spin_deg):
+                    for tx in (-translate, 0.0, translate):
+                        volume.set_spin(np.deg2rad(sp_deg))
+                        volume.set_translation(
+                            trans0 + np.asarray([tx, 0.0, 0.0]))
+                        self.render(camera, width, height)
+            finally:
+                volume.options.sampling_factor = sf0
+                volume.node_transform = nt0
+                volume._spin_base = base0
+        return time.perf_counter() - t0
 
     def update_transfer_function(self, volume: Volume, timed_runs: int = 5) -> UpdateStats:
         """TF-edit recompute path (src/volume_render.cpp:392-445): bake the TF
@@ -613,16 +741,48 @@ class Engine:
         st_rep = self.options.skipping_type
         if st_rep == SkippingType.NONE and volume.dist_maps is not None:
             st_rep = SkippingType.BLOCK
-        rep = march(
-            volume.density, volume.gradient,
-            volume.dist_maps if st_rep != SkippingType.NONE else None,
-            tf, sub, uniforms.block_size, pvm,
-            skipping_type=st_rep,
-            early_ray_termination=self.options.early_ray_termination,
-            precomputed_gradient=volume.options.use_precomputed_gradient,
-            test=self.options.test,
-            tf_texture=self._tf_texture(volume),
-        )
+
+        def march_lanes(lanes):
+            return march(
+                volume.density, volume.gradient,
+                volume.dist_maps if st_rep != SkippingType.NONE else None,
+                tf, lanes, uniforms.block_size, pvm,
+                skipping_type=st_rep,
+                early_ray_termination=self.options.early_ray_termination,
+                precomputed_gradient=volume.options.use_precomputed_gradient,
+                test=self.options.test,
+                tf_texture=self._tf_texture(volume),
+            )
+
+        # Band the suspect march into short device programs: suspects are
+        # all edge rays (deep marches, little skipping — present's 130k-lane
+        # single program measured ~6 s, and gradient TFs march ~4× slower),
+        # and a long single program trips the relay's device watchdog,
+        # which KILLS the TPU worker (the round-5 parity run died twice at
+        # present-grad's repair frame exactly this way). Same banding
+        # rationale as render_volume's full-frame oracle strips.
+        chunk = _REPAIR_CHUNK[bool(tf.use_gradient)]
+        if K > chunk:
+            parts = [
+                march_lanes(jax.tree.map(
+                    lambda x: (x[:, c:c + chunk]
+                               if getattr(x, "ndim", 0) >= 2
+                               and x.shape[:2] == (1, K) else x), sub))
+                for c in range(0, K, chunk)
+            ]
+            rep = RenderOutput(
+                color=jnp.concatenate([p.color for p in parts], axis=1),
+                depth=jnp.concatenate([p.depth for p in parts], axis=1),
+                num_volume_samples=jnp.concatenate(
+                    [p.num_volume_samples for p in parts], axis=1),
+                num_distance_samples=jnp.concatenate(
+                    [p.num_distance_samples for p in parts], axis=1),
+                num_empty_samples=jnp.concatenate(
+                    [p.num_empty_samples for p in parts], axis=1),
+                iterations=parts[0].iterations,
+            )
+        else:
+            rep = march_lanes(sub)
 
         # Dead (padding) lanes scatter to an out-of-bounds index and are
         # dropped — a live suspect at pixel 0 must not race with padding
@@ -917,6 +1077,8 @@ class Engine:
                         vol_t.shape[0]
                         * self._slab_oversample(volume, vol_t.shape, tf)
                     )))
+                    if self._slab_ladder:
+                        n_slabs = _ladder_up(n_slabs, vol_t.shape[0])
                     # The texture-TF variant exists only in the brick
                     # kernel; when that kernel is infeasible for this view
                     # the XLA sweep renders the frame.

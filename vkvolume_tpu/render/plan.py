@@ -448,14 +448,18 @@ def pass_b1_positions_np(hc: np.ndarray, plan: dict, xg: np.ndarray,
     return yb, jhat
 
 
-def _pick_rect(span, src_width, quantum: int = 512,
+def _pick_rect(span, src_width, quantum: int = 128,
                allow_full_src: bool = False):
-    """Rect width covering ``span`` + alignment/tent margins, quantised
-    coarsely (each distinct rect is a jit specialisation — 512 steps keep
-    the orbit's specialisation count small). The row-aligned rect is
-    (C, 8, RECT) in VMEM — wide windows are cheap (a (4, 8, 6144) u16 rect
-    is 384 KB); the rect must never exceed the source row width (the DMA
-    would read out of bounds — a device fault, not an error).
+    """Rect width covering ``span`` + alignment/tent margins, quantised at
+    128 lanes. The two-pass warp is DMA-bound and the rect width directly
+    scales its DMA bytes (warp_ms is ~9 of a ~22 ms skip-mode frame at the
+    round-4 512-quantum, which rounded every headline pose up to 1024);
+    tight rects halve that. Specialisation count stays bounded: static
+    poses use one rect, and the orbit's frozen tiers take a per-tier MAX
+    over poses anyway (freeze_statics), so orbit compile count is governed
+    by the tier count, not the rect quantum. The row-aligned rect is
+    (C, 8, RECT) in VMEM; the rect must never exceed the source row width
+    (the DMA would read out of bounds — a device fault, not an error).
 
     ``allow_full_src``: when the rect covers the WHOLE source row (possible
     only when the width is lane-aligned), the aligned DMA base is pinned at

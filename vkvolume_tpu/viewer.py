@@ -395,12 +395,31 @@ def main(argv=None) -> int:
     p = build_parser()
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="skip pre-compiling the structural-edit kernel "
+                        "specialisations at startup (they then compile "
+                        "on first use, ~10 s per edit class)")
     args = p.parse_args(argv)
     engine, volumes = setup_engine(args)
     t0 = time.perf_counter()
     for volume in volumes:
         engine.add_volume(volume)
     print(f"Prepared in {time.perf_counter() - t0:.2f}s", flush=True)
+    if not args.no_prewarm and engine.renderer == "pallas":
+        # Structural GUI edits (translate/spin/sampling) re-plan the frame;
+        # without prewarm each new jit-static combination is a fresh
+        # multi-second Mosaic compile mid-edit (the reference recompiles
+        # its shader variants in ms, src/volume_render.cpp:541-544).
+        # Prewarm freezes envelope tiers + compiles the sampling ladder;
+        # warm sessions serve it all from the persistent compile cache.
+        from .camera import fit_distance, orbit_camera
+
+        aspect = args.width / args.height
+        cam0 = orbit_camera(
+            radius=fit_distance(50.0, np.deg2rad(60.0), aspect) * 1.3,
+            azimuth_deg=30.0, elevation_deg=20.0, aspect=aspect)
+        s = engine.prewarm_interactive(cam0, args.width, args.height)
+        print(f"Prewarmed interactive kernels in {s:.2f}s", flush=True)
     # The GUI edits target the FIRST volume (per-volume GUI sections are a
     # CLI/API capability; the reference shows one section per volume).
     srv = ViewerServer(engine, volumes[0], args.width, args.height,
