@@ -54,7 +54,9 @@ def render(renderer, dataset, skipmode, width, height, scale, vol_u8,
     # compiles + map builds; queue a few same-pose frames and sync once.
     frame_ms = None
     if renderer == "pallas":
-        n = 10
+        # Repair frames cost seconds each (oracle march over suspects,
+        # banded); 3 reps bound the timing noise without burning minutes.
+        n = 3 if edge_repair else 10
         t0 = time.time()
         for _ in range(n):
             out = eng.render(cam, width, height)
