@@ -341,13 +341,15 @@ def test_brick_texture_tf_matches_xla_texture_path():
     assert np.abs(np.asarray(out_cf.color) - got).max() > 1e-5
 
 
-@pytest.mark.parametrize("prec", ["high", "default"])
+@pytest.mark.parametrize("prec", ["high", "default", "split3"])
 def test_brick_tent_precision_knob(prec):
     """tent_prec threads through to the tent dot (bench A/B knob): reduced
     MXU precision must trace/run and stay within u8-class tolerance of the
     HIGHEST-precision render (exact on CPU where dots are true f32; on
     device "high" is bf16x3 — error far below 1 u8 LSB for <=8-significant-
-    bit inputs)."""
+    bit inputs). "split3" performs the bf16x3 split explicitly (Mosaic
+    rejects the HIGH enum) so its error bound holds on EVERY backend —
+    the casts are real even on CPU, pinning the ≤0.002-LSB residual."""
     from vkvolume_tpu.render import sweep_bricks as sb
 
     vol_t, grad_t, dist_t, tf, rays, u, pvm, p = _frame_setup(25.0)

@@ -116,6 +116,27 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
     wv_min = jnp.min(jnp.where(cov, wv, big))
     wv_max = jnp.max(jnp.where(cov, wv, -big))
 
+    def tent_dot(what, colu):
+        """(tile_h, S) @ (S, TILE_W) tent reduction. ``split3`` emulates
+        Precision.HIGH (which this Mosaic toolchain rejects as an enum,
+        docs/smoke_r4.json brick_rect512_tent_high) with three explicit
+        DEFAULT-precision bf16 passes: each operand splits into hi+lo
+        bf16 parts and the lo·lo term is dropped — residual error is
+        ≤ 2·255·2⁻¹⁸ ≈ 0.002 u8 LSB, half the MXU passes of HIGHEST."""
+        dims = (((1,), (0,)), ((), ()))
+        if tent_prec == "split3":
+            bf = jnp.bfloat16
+            w_hi = what.astype(bf)
+            w_lo = (what - w_hi.astype(f)).astype(bf)
+            c_hi = colu.astype(bf)
+            c_lo = (colu - c_hi.astype(f)).astype(bf)
+            d = lambda a, b: jax.lax.dot_general(
+                a, b, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f)
+            return d(w_hi, c_hi) + d(w_lo, c_hi) + d(w_hi, c_lo)
+        return jax.lax.dot_general(what, colu, dims, precision=tent_prec,
+                                   preferred_element_type=f)
+
     n_bricks = (n_slabs + BRICK - 1) // BRICK      # static
 
     # Brick index range covering [s_lo_t, s_hi_t] ∩ the occupied range.
@@ -430,11 +451,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                     jnp.int32, (tile_h, 8 * span_blks), 1)
                     + v0a + r_base8).astype(f)
                 what = jnp.maximum(0.0, 1.0 - jnp.abs(qv - r_glob))
-                intensity = jax.lax.dot_general(
-                    what, colu, (((1,), (0,)), ((), ())),
-                    precision=tent_prec,
-                    preferred_element_type=f,
-                ) * f(1.0 / 255.0)
+                intensity = tent_dot(what, colu) * f(1.0 / 255.0)
 
                 if texture_tf:
                     # TRANSFER_FUNCTION_TEXTURE path: the 256×256 texture is
@@ -452,11 +469,7 @@ def _kernel(meta_ref, fpar_ref,                    # SMEM (prefetch)
                 if use_gradient:
                     gcolu = sample_rows(gscratch, pidx, fp, il0, fu,
                                         r_base8)
-                    gradient = jax.lax.dot_general(
-                        what, gcolu, (((1,), (0,)), ((), ())),
-                        precision=tent_prec,
-                        preferred_element_type=f,
-                    ) * f(1.0 / 255.0)
+                    gradient = tent_dot(what, gcolu) * f(1.0 / 255.0)
                     if texture_tf:
                         gi = jnp.clip(jnp.floor(gradient * 256.0), 0.0,
                                       255.0)
@@ -715,7 +728,8 @@ def _sweep_bricks_jit(
         tent_prec = os.environ.get("VKV_TENT_PRECISION", "highest")
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[tent_prec]
+            "default": jax.lax.Precision.DEFAULT,
+            "split3": "split3"}[tent_prec]
 
     kern = functools.partial(
         _kernel, R=R, PLANES=PLANES, ert=ert,
