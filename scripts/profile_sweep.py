@@ -181,7 +181,7 @@ def main():
                 interpret=False, dim_max=max(vol_t.shape), H_total=None,
                 warp_variant=k.get("warp_variant", "A"),
                 warp_pipe=True), "warp stage (pipelined)")
-        for prec in ("high", "default"):
+        for prec in ("high", "split3", "default"):
             # Mosaic rejects dot precision HIGH on this toolchain
             # (docs/smoke_r4.json brick_rect512_tent_high); record the
             # failure instead of killing the whole profile run.
