@@ -166,7 +166,10 @@ def worker_main():
 
     cam = benchmark_camera(aspect=width / height)
     fit = os.environ.get("VKV_BENCH_FIT", "aspect")
-    ref_fps_1200 = 623.8                      # benchmark_results_2.csv:14
+    # Mode-matched reference fps (stag beetle TF-a, 1200x1200, BASELINE.md):
+    # vs_baseline always compares like-for-like skipping modes —
+    # benchmark_results_{0..3}.csv:14 (None/Block/Distance/AnisoDist).
+    ref_fps_1200 = {0: 75.3, 1: 340.3, 2: 623.8, 3: 672.3}[skipmode]
     baseline_ms = 1000.0 / (ref_fps_1200 / ((width * height) / 1200.0 ** 2))
     # Measured stretch/aspect frame-cost ratio at this pose (same-session
     # A/B: docs/fit_ab_r4.json 21.469 ms stretch vs docs/bench_static_r4.json
