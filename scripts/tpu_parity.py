@@ -125,7 +125,7 @@ def main():
         # skipmode's repair column instead of re-marching the same
         # suspects — the ~700 s/row grad-TF repair march otherwise
         # dominates the whole artifact chain 4x over.
-        if have_default and want_repair:
+        def try_reuse():
             tail = f":{parts[2]}" if len(parts) > 2 else ""
             for sib_sm in (0, 1, 2, 3):
                 sib = f"{dataset}:{sib_sm}{tail}"
@@ -141,9 +141,11 @@ def main():
                     print(f"{cfg}: repair column reused from {sib} "
                           "(identical default stats)", flush=True)
                     save()
-                    break
-            if "edge_repair" in results[cfg]:
-                continue
+                    return True
+            return False
+
+        if have_default and want_repair and try_reuse():
+            continue
 
         vol = synthesize(DATASETS[dataset], scale=cfg_scale)
         okey = (dataset, cfg_scale)
@@ -185,6 +187,11 @@ def main():
                          got=got, ref=ref)
         # Quality mode: the same frame with edge_repair (suspect pixels
         # re-marched by the oracle) — the u8-tolerance parity column.
+        # A freshly-computed default column may now match a sibling
+        # skipmode exactly (deterministic kernels) — reuse before paying
+        # the repair march.
+        if want_repair and try_reuse():
+            continue
         if want_repair:
             t1 = time.time()
             got_r, _, (n_rep, budget), rep_ms = render(
