@@ -1394,7 +1394,12 @@ def plan_from_stats(st, uniforms: FrameUniforms, p_axis: int, vol_shape_t,
             r_cands = tuple(
                 c for c in (16, 24, 32, 48, 64, 96)
                 if c <= max_r and (c <= 64 or rect_w_c <= 384))
-            for th in (32, 16, 8):
+            # VKV_TILE_H: ESS-granularity A/B knob — smaller tiles leap
+            # with tighter footprints (fewer over-marched slabs) at more
+            # per-brick control work; the default ladder prefers the
+            # biggest fitting tile.
+            th_env = os.environ.get("VKV_TILE_H")
+            for th in ((int(th_env),) if th_env else (32, 16, 8)):
                 span = th * dwv_max * Sv * t_max
                 sb = -(-int(span + 10.0) // 8)   # per-slab tent window blocks
                 need = max(8 * sb, int(span + drift_bv + 11.0))
