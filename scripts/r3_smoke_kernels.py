@@ -192,6 +192,13 @@ def main():
          lambda: brick(384, tile_h=32, R=64, span_blks=6))
     step("brick_rect512_tent_high", lambda: brick(512, tent_prec="high"))
     step("brick_tent_default", lambda: brick(256, tent_prec="default"))
+    # split3 = manual 3-pass bf16 emulation of the rejected HIGH enum
+    # (sweep_bricks.tent_dot) — smoke BOTH the generic class and the
+    # headline pose's exact geometry before any bench flips the default.
+    step("brick_tent_split3", lambda: brick(256, tent_prec="split3"))
+    step("brick_headline_split3",
+         lambda: brick(384, tile_h=32, R=64, span_blks=6,
+                       tent_prec="split3"))
     step("brick_grad_unaligned", brick_grad_unaligned)
     step("warp_full_src_rect", warp_full_src)
     step("warp_pipelined", lambda: warp_full_src(pipeline=True))

@@ -12,6 +12,7 @@ jit dispatch + ``block_until_ready``.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -1208,6 +1209,13 @@ class Engine:
                             rect_w=plan.get("rect_w", 256),
                             texture_tf=self.options.texture_tf,
                             warp_variant=plan.get("warp_variant", "A"),
+                            # Resolved HERE (not at trace time inside the
+                            # kernel wrapper) so the A/B env var is part
+                            # of the jit key — flipping it mid-process
+                            # retraces instead of silently reusing the
+                            # other precision's compiled frame.
+                            tent_prec=os.environ.get(
+                                "VKV_TENT_PRECISION", "highest"),
                         )
                         self.last_renderer = "pallas"
                         self.renderer_counts["pallas"] += 1
