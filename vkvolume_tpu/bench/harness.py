@@ -673,7 +673,11 @@ def run_sweep(
         for key in dataset_keys:
             cached_vol = None
             for b in blocksizes:
-                if skipmode == 0 and b != blocksizes[0]:
+                # Skipmode 0 runs exactly one block size — the SMALLEST,
+                # matching the reference's first-of-list b=2
+                # (scripts/benchmark.py:71) regardless of caller priority
+                # order.
+                if skipmode == 0 and b != min(blocksizes):
                     continue
                 ds = DATASETS[key]
                 sig = (key.split("-")[0], b, ds.gmin, ds.gmax)
