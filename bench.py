@@ -128,7 +128,12 @@ def worker_main():
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     dataset = os.environ.get("BENCH_DATASET", "beetle")
-    skipmode = int(os.environ.get("BENCH_SKIPMODE", "2"))
+    # Headline default is AnisotropicDistance (skipmode 3): it is the
+    # reference's own best mode (benchmark_results_3.csv:14, 672.3 fps vs
+    # 623.8 for Distance) and ours — 17.34 ms vs 18.19 ms for skipmode 2 on
+    # device (docs/aniso_r5.json vs docs/bench_static_r5.json). vs_baseline
+    # stays mode-matched either way, so the flip is a like-for-like win.
+    skipmode = int(os.environ.get("BENCH_SKIPMODE", "3"))
     renderer = os.environ.get("BENCH_RENDERER", "pallas")
     breakdown = os.environ.get("BENCH_BREAKDOWN", "1") != "0" and attempt == 0
 
